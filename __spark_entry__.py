@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB-equivalent SQL for each query (same column
+names/types; doubles rounded to 4 decimals on both sides).
 """
 
 from __future__ import annotations
@@ -12,27 +11,431 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alix_spark import Corpus
+from alix_spark.analysis import simple
+from alix_spark.cooc import ngrams as ngrams_mod
+from alix_spark.cooc import window as window_mod
+from alix_spark.io import load, load_documents
+from alix_spark.search import bm25 as bm25_mod
+from alix_spark.stats import facets as facets_mod
+from alix_spark.stats import fieldtext as ft_mod
+from alix_spark.textops import dedup as dedup_mod
+from alix_spark.textops import quality as quality_mod
+from alix_spark.textops import similarity as sim_mod
+
+# ---------------------------------------------------------------------- #
+# shared SQL fragments (DuckDB): the simple analysis chain as a CTE
+# ---------------------------------------------------------------------- #
+
+TOK_CTE = """
+tok AS (
+  SELECT d.doc_id, u.term AS term, u.pos - 1 AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents) d,
+       LATERAL (SELECT unnest(d.toks) AS term,
+                       generate_subscripts(d.toks, 1) AS pos) u
+)
+"""
+
+BM25_TERMS = ("fast", "join", "merge")
+BM25_IN = "('fast','join','merge')"
+PIVOT = "fast"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    return Corpus(load_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------- #
+# query implementations (spark side)
+# ---------------------------------------------------------------------- #
+
+
+def q_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — global term frequency list, top 100 by occs."""
+    c = _corpus(spark, sf_dir)
+    return (
+        ft_mod.term_stats(c.postings)
+        .orderBy(F.desc("occs"), F.asc("term"))
+        .limit(100)
+        .select("term", "occs", "docs")
+    )
+
+
+def q_doc_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — tokens per document."""
+    c = _corpus(spark, sf_dir)
+    return c.doc_lens.select("doc_id", F.col("dl").cast("long").alias("dl"))
+
+
+def q_corpus_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — corpus totals: docs, distinct forms, total occurrences."""
+    c = _corpus(spark, sf_dir)
+    return c.tokens.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count_distinct("term").cast("long").alias("n_forms"),
+        F.count(F.lit(1)).cast("long").alias("all_occs"),
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 — BM25 top-10 for an OR query (exact-length variant)."""
+    c = _corpus(spark, sf_dir)
+    n, avgdl = bm25_mod.corpus_stats(c.doc_lens)
+    scored = bm25_mod.score_terms(
+        c.postings, c.doc_lens, list(BM25_TERMS), n, avgdl
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("score_part"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 — boolean MUST/MUST_NOT retrieval: +fast +join -window."""
+    c = _corpus(spark, sf_dir)
+    parsed = c.parse("+fast +join -window")
+    from alix_spark.search.boolean import matching_docs
+
+    return matching_docs(c.postings, parsed, all_docs=c.doc_lens).select("doc_id")
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 — per-doc matched occurrences for a term list."""
+    c = _corpus(spark, sf_dir)
+    return ft_mod.doc_stats(c.postings, list(BM25_TERMS)).select("doc_id", "freq")
+
+
+def q_facet_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — facet aggregation over `source`: docs + token weight."""
+    c = _corpus(spark, sf_dir)
+    return facets_mod.facet_stats(c.docs, c.doc_lens, "source").select(
+        "facet", "docs", "occs"
+    )
+
+
+def q_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (query-scored) — hits + matched occs per `lang` facet value."""
+    c = _corpus(spark, sf_dir)
+    return facets_mod.facet_query_stats(
+        c.docs, c.postings, list(BM25_TERMS), "lang"
+    ).select("facet", "hits", "freq")
+
+
+def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — top-50 adjacent bigrams."""
+    c = _corpus(spark, sf_dir)
+    return (
+        ngrams_mod.bigrams(c.tokens)
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
+
+
+def q_cooc_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — windowed co-occurrence (±3) around the pivot, interval-union."""
+    c = _corpus(spark, sf_dir)
+    return (
+        window_mod.cooc_window(c.tokens, PIVOT, left=3, right=3)
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup — exact duplicate groups by content md5."""
+    docs = load_documents(spark, sf_dir)
+    return dedup_mod.exact_dedup(docs).select("content_hash", "n_dups", "keep_id")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text analysis — token/type counts + type-token ratio."""
+    docs = load_documents(spark, sf_dir)
+    return quality_mod.text_stats(docs).select(
+        "doc_id", "n_tokens", "n_types", "ttr"
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text analysis — quality scoring signals."""
+    docs = load_documents(spark, sf_dir)
+    return quality_mod.quality_score(docs)
+
+
+def q_chronology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 analogue — events per day per type with value sums."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity search — exact cosine top-10 around vec_id 0."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return sim_mod.brute_force_knn(emb, list(qvec), k=10, exclude_id=0)
+
+
+def q_shared_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — shared vocabulary of docs 0 and 1, tf/len scored."""
+    c = _corpus(spark, sf_dir)
+    return sim_mod.doc_shared_vocab(c.postings, 0, 1, c.doc_lens, k=100)
+
+
+# rows-only checks (hash functions not reproducible in DuckDB) ----------- #
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup — MinHash+LSH candidate pairs with Jaccard estimates."""
+    docs = load_documents(spark, sf_dir)
+    sigs = dedup_mod.minhash_signatures(docs, n_hashes=64)
+    pairs = dedup_mod.minhash_lsh_pairs(sigs, bands=16, rows=4)
+    return dedup_mod.minhash_jaccard_estimate(sigs, pairs).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup — SimHash near-duplicates within Hamming distance 3."""
+    docs = load_documents(spark, sf_dir)
+    sims = dedup_mod.simhash(docs)
+    return dedup_mod.simhash_near_dups(sims, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity search — LSH-bucketed ANN around vec_id 0."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return sim_mod.lsh_knn(emb, list(qvec), k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------- #
+# driver contract
+# ---------------------------------------------------------------------- #
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 ranked retrieval on sf0.001."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_freq": q_term_freq,
+        "doc_lens": q_doc_lens,
+        "corpus_totals": q_corpus_totals,
+        "bm25_topk": q_bm25_topk,
+        "boolean_must_not": q_boolean,
+        "doc_stats": q_doc_stats,
+        "facet_source": q_facet_source,
+        "facet_query": q_facet_query,
+        "bigrams": q_bigrams,
+        "cooc_window": q_cooc_window,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality,
+        "chronology": q_chronology,
+        "knn_brute": q_knn_brute,
+        "shared_vocab": q_shared_vocab,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_dups": q_simhash_dups,
+        "lsh_knn": q_lsh_knn,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_freq": f"""
+            WITH {TOK_CTE}
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS occs,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+            FROM tok GROUP BY term
+            ORDER BY occs DESC, term ASC LIMIT 100
+        """,
+        "doc_lens": f"""
+            WITH {TOK_CTE}
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+            FROM tok GROUP BY doc_id
+        """,
+        "corpus_totals": f"""
+            WITH {TOK_CTE}
+            SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT term) AS BIGINT) AS n_forms,
+                   CAST(count(*) AS BIGINT) AS all_occs
+            FROM tok
+        """,
+        "bm25_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+                   FROM tok WHERE term IN {BM25_IN} GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                   FROM tok GROUP BY doc_id),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                      FROM dl),
+            dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                      FROM tok WHERE term IN {BM25_IN} GROUP BY term)
+            SELECT t.doc_id,
+                   ROUND(SUM(
+                     ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                     * (t.f * 2.2)
+                       / (t.f + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+                   ), 4) AS score
+            FROM tf t
+            JOIN dl l USING (doc_id)
+            JOIN dfreq d USING (term)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "boolean_must_not": f"""
+            WITH {TOK_CTE}
+            SELECT doc_id FROM tok GROUP BY doc_id
+            HAVING SUM(CASE WHEN term = 'fast' THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN term = 'join' THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) = 0
+        """,
+        "doc_stats": f"""
+            WITH {TOK_CTE}
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
+            FROM tok WHERE term IN {BM25_IN} GROUP BY doc_id
+        """,
+        "facet_source": f"""
+            WITH {TOK_CTE},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+            SELECT d.source AS facet,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(dl.dl) AS BIGINT) AS occs
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+            GROUP BY d.source
+        """,
+        "facet_query": f"""
+            WITH {TOK_CTE},
+            m AS (SELECT doc_id, count(*) AS freq
+                  FROM tok WHERE term IN {BM25_IN} GROUP BY doc_id)
+            SELECT d.lang AS facet,
+                   CAST(count(*) AS BIGINT) AS hits,
+                   CAST(sum(m.freq) AS BIGINT) AS freq
+            FROM documents d JOIN m ON d.doc_id = m.doc_id
+            GROUP BY d.lang
+        """,
+        "bigrams": f"""
+            WITH {TOK_CTE}
+            SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS n
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY a.term, b.term
+            ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50
+        """,
+        "cooc_window": f"""
+            WITH {TOK_CTE},
+            piv AS (SELECT doc_id, pos FROM tok WHERE term = '{PIVOT}'),
+            ctx AS (SELECT DISTINCT t.doc_id, t.pos, t.term
+                    FROM tok t JOIN piv p
+                      ON t.doc_id = p.doc_id
+                     AND t.pos BETWEEN p.pos - 3 AND p.pos + 3
+                    WHERE t.term <> '{PIVOT}')
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS hits
+            FROM ctx GROUP BY term
+            ORDER BY freq DESC, term ASC LIMIT 50
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks,
+                     length(text) AS n_chars_raw
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                   ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / greatest(CAST(len(toks) AS DOUBLE), 1.0), 4) AS ttr
+            FROM t
+        """,
+        "quality_score": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     CAST(length(text)
+                          - length(regexp_replace(text, '[0-9]', '', 'g'))
+                          AS DOUBLE) AS n_digits,
+                     CAST(length(text)
+                          - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                          AS DOUBLE) AS n_punct,
+                     greatest(CAST(len(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS DOUBLE), 1.0) AS n_tokens,
+                     CAST(length(regexp_replace(lower(text), '[^a-z0-9]',
+                          '', 'g')) AS DOUBLE) AS n_alnum
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     n_alnum / n_tokens AS mean_tok,
+                     n_digits / greatest(n_chars, 1.0) AS digit_ratio,
+                     n_punct / greatest(n_chars, 1.0) AS punct_ratio
+              FROM t)
+            SELECT doc_id,
+                   ROUND(mean_tok, 4) AS mean_token_len,
+                   ROUND(digit_ratio, 4) AS digit_ratio,
+                   ROUND(punct_ratio, 4) AS punct_ratio,
+                   ROUND(least(mean_tok / 8.0, 1.0) * (1.0 - digit_ratio)
+                         * (1.0 - least(punct_ratio * 4.0, 1.0)), 4)
+                     AS quality
+            FROM m
+        """,
+        "chronology": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(sum(value), 4) AS sum_value
+            FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+        """,
+        "knn_brute": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q.e)
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.e, q.e))), 4) AS cos
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "shared_vocab": f"""
+            WITH {TOK_CTE},
+            ta AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 0
+                   GROUP BY term),
+            tb AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 1
+                   GROUP BY term),
+            la AS (SELECT count(*) AS dl FROM tok WHERE doc_id = 0),
+            lb AS (SELECT count(*) AS dl FROM tok WHERE doc_id = 1)
+            SELECT ta.term,
+                   ROUND(CAST(ta.tf AS DOUBLE) / la.dl
+                         + CAST(tb.tf AS DOUBLE) / lb.dl, 6) AS score
+            FROM ta JOIN tb USING (term) CROSS JOIN la CROSS JOIN lb
+            ORDER BY score DESC, ta.term ASC LIMIT 100
+        """,
+        # minhash_pairs / simhash_dups / lsh_knn: xxhash64-based — not
+        # reproducible in DuckDB; driver records rows-only checks.
+    }

@@ -1,0 +1,57 @@
+"""Simple tokenizer: lowercase, split on non-alphanumerics — all JVM-side.
+
+This is the analysis chain for source-code / plain-text corpora and the
+reference point for every DuckDB oracle. It deliberately lives entirely in
+Spark SQL expressions (``lower`` / ``split`` / ``filter`` / ``posexplode``)
+so tokenization participates in whole-stage codegen: no Python is involved,
+and Catalyst can pushdown/prune around it.
+
+Equivalent DuckDB SQL (used by the oracles)::
+
+    SELECT doc_id, u.term, u.pos - 1 AS pos
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+         LATERAL (SELECT unnest(toks) AS term,
+                         generate_subscripts(toks, 1) AS pos) u
+
+Alix analogue: the tokenizer contract of
+``/root/reference/java/alix/lucene/analysis/FrTokenizer.java`` (emit terms
+with sequential positions); the French-specific rules live in
+:mod:`alix_spark.analysis.french` instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens_array(text: Column) -> Column:
+    """Array of tokens for one text column, empty strings removed.
+
+    Positions are the indexes in this array — i.e. the token sequence, the
+    same semantics as Alix's rail (token-at-position) model
+    (``FieldRail.java:80-88``), with no punctuation holes in the simple
+    chain.
+    """
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def tokenize(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """docs → token table ``(doc_id, pos, term)``.
+
+    One output row per token occurrence. This is the exploded form every
+    index table derives from; it is never materialized at full corpus scale
+    (the builders aggregate it immediately, letting map-side partial
+    aggregation collapse it before any shuffle).
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_array(F.col(text_col))).alias("pos", "term"),
+    ).select("doc_id", "pos", "term")

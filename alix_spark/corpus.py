@@ -1,0 +1,135 @@
+"""Corpus — the engine facade: one document collection + its index tables.
+
+Plays the role of the reference's ``Alix`` class
+(``/root/reference/java/alix/lucene/Alix.java:135-247``): owns the
+document collection, lazily builds and caches the derived structures
+(postings / forms / doc_lens — the FieldText analogue,
+``/root/reference/java/alix/lucene/search/FieldText.java:118-239``), and
+exposes search + statistics entry points.
+
+Caching model: each derived DataFrame is built once per Corpus instance and
+``.cache()``d — the Spark analogue of Alix's per-reader-generation
+SoftReference cache (``Alix.java:190,446-462``). For persistent indexes use
+:mod:`alix_spark.index.store` to write/read the tables as parquet.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alix_spark.analysis import simple
+from alix_spark.index import build as ib
+from alix_spark.search import bm25 as bm25mod
+from alix_spark.search import boolean as boolmod
+from alix_spark.search import parser as parsermod
+
+
+class Corpus:
+    def __init__(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        cache: bool = True,
+    ):
+        self.docs = docs
+        self.id_col = id_col
+        self.text_col = text_col
+        self._cache = cache
+
+    def _maybe_cache(self, df: DataFrame) -> DataFrame:
+        return df.cache() if self._cache else df
+
+    @cached_property
+    def tokens(self) -> DataFrame:
+        """(doc_id, pos, term) — not cached: cheap to recompute, huge to pin."""
+        return simple.tokenize(self.docs, self.id_col, self.text_col)
+
+    @cached_property
+    def postings(self) -> DataFrame:
+        return self._maybe_cache(ib.build_postings(self.tokens))
+
+    @cached_property
+    def doc_lens(self) -> DataFrame:
+        return self._maybe_cache(ib.build_doc_lens(self.tokens))
+
+    @cached_property
+    def forms(self) -> DataFrame:
+        return self._maybe_cache(ib.build_forms(self.postings))
+
+    @cached_property
+    def _stats(self) -> tuple[int, float]:
+        return bm25mod.corpus_stats(self.doc_lens)
+
+    @property
+    def n_docs(self) -> int:
+        return self._stats[0]
+
+    @property
+    def avgdl(self) -> float:
+        return self._stats[1]
+
+    # ------------------------------------------------------------------ #
+    # search
+    # ------------------------------------------------------------------ #
+    def parse(self, q: str) -> parsermod.ParsedQuery:
+        parsed = parsermod.parse(q)
+        if parsed.wildcards:
+            # expand prefixes against the vocabulary (reference:
+            # WildcardQuery, Alix.java:731-734). Vocab filter is a tiny scan.
+            for prefix in parsed.wildcards:
+                expanded = [
+                    r["term"]
+                    for r in self.forms.filter(
+                        F.col("term").startswith(prefix)
+                    )
+                    .select("term")
+                    .collect()
+                ]
+                parsed.should.extend(expanded)
+            parsed.wildcards = []
+        return parsed
+
+    def search(self, q: str, k: int = 10, lucene: bool = False) -> DataFrame:
+        """BM25 top-k for a +/- query string → (doc_id, score).
+
+        MUST/MUST_NOT restrict the candidate set; all positive terms score.
+        Mirrors the reference lifecycle in SURVEY.md §3.2.
+        """
+        parsed = self.parse(q)
+        terms = parsed.positive_terms
+        n, avgdl = self._stats
+        if not terms and not parsed.must_not:
+            raise ValueError(f"empty query: {q!r}")
+        dfs = None
+        if parsed.must or parsed.must_not:
+            candidates = boolmod.matching_docs(
+                self.postings, parsed, all_docs=self.doc_lens
+            )
+            postings = self.postings.join(candidates, "doc_id", "left_semi")
+            # idf stays corpus-wide even when candidates are restricted
+            dfs = self.forms.select("term", F.col("docs").alias("df"))
+        else:
+            postings = self.postings
+        if not terms:
+            # pure-negative: every surviving doc, unscored (score 0)
+            return (
+                postings.select("doc_id")
+                .distinct()
+                .withColumn("score", F.lit(0.0))
+                .orderBy("doc_id")
+                .limit(k)
+            )
+        return bm25mod.bm25_topk(
+            postings,
+            self.doc_lens,
+            terms,
+            k=k,
+            lucene=lucene,
+            n_docs=n,
+            avgdl=avgdl,
+            dfs=dfs,
+        )

@@ -1,0 +1,105 @@
+"""Core index tables from a token stream.
+
+Reference semantics being reproduced (see SURVEY.md §1.4):
+
+* ``postings``  — per (term, doc): tf + sorted positions. Lucene's
+  ``DOCS_AND_FREQS_AND_POSITIONS`` postings
+  (``/root/reference/java/alix/lucene/Alix.java:154-165``).
+* ``forms``     — the vocabulary with corpus tf (``occs``) and df
+  (``docs``), plus a dense ``form_id`` assigned in descending corpus
+  frequency order, ties broken by form ascending
+  (``/root/reference/java/alix/lucene/search/FieldText.java:109-116,195``;
+  tie rule divergence documented in SURVEY.md §7.4.5).
+* ``doc_lens``  — tokens per doc (``FieldText.java:130,180`` ``docOccs``).
+
+Scale notes:
+
+* ``postings`` groups by (term, doc_id) — the key includes doc_id, so the
+  Zipf skew of hot terms is spread over all their documents; no salting
+  needed here. Map-side partial aggregation collapses the exploded token
+  stream before the shuffle.
+* ``forms`` groups by term alone; partial aggregation makes the hot-term
+  reduction cheap (one partial row per map task).
+* the ``form_id`` ranking is a global sort. At 100 TB the vocabulary is
+  ~10^8-10^9 forms — several orders smaller than the corpus. We rank with a
+  range-partitioned sort + per-partition offsets (no single-partition
+  window), so the rank step scales with the vocabulary, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_postings(tokens: DataFrame) -> DataFrame:
+    """(doc_id, pos, term) → (term, doc_id, tf, positions:array<int>)."""
+    return tokens.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def build_doc_lens(tokens: DataFrame) -> DataFrame:
+    """(doc_id, pos, term) → (doc_id, dl)."""
+    return tokens.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("dl"))
+
+
+def build_forms(postings: DataFrame, assign_ids: bool = True) -> DataFrame:
+    """postings → (form_id, term, occs, docs).
+
+    ``occs`` = corpus term frequency, ``docs`` = document frequency.
+    ``form_id`` is dense, 1-based, descending-frequency ordered — formId 0
+    is reserved for the punctuation/hole pseudo-form exactly as in the
+    reference (``FieldText.java:191``).
+    """
+    stats = postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("occs"),
+        F.count(F.lit(1)).cast("long").alias("docs"),
+    )
+    if not assign_ids:
+        return stats
+    return rank_forms(stats)
+
+
+def rank_forms(stats: DataFrame) -> DataFrame:
+    """Assign dense freq-ordered ids without a single-partition window.
+
+    Strategy: range-partition sort by (occs desc, term asc), count rows per
+    sorted partition, broadcast the cumulative offsets, then add the
+    per-partition local index. Equivalent to ``row_number()`` over the
+    global order, but every step scales out.
+    """
+    spark = stats.sparkSession
+    n_part = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2)
+    ordered = stats.repartitionByRange(
+        n_part, F.desc("occs"), F.asc("term")
+    ).sortWithinPartitions(F.desc("occs"), F.asc("term"))
+
+    w = Window.partitionBy("_pid").orderBy(F.desc("occs"), F.asc("term"))
+    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ).getItem(F.col("_pid"))
+    return (
+        with_pid.withColumn("_local", F.row_number().over(w))
+        .withColumn("form_id", (offset_col + F.col("_local")).cast("long"))
+        .select("form_id", "term", "occs", "docs")
+    )
+
+
+def corpus_totals(forms: DataFrame) -> tuple[int, int]:
+    """(all_occs, n_forms) — ``FieldText.java:87-90,232-233``."""
+    row = forms.agg(
+        F.sum("occs").alias("occs"), F.count(F.lit(1)).alias("forms")
+    ).collect()[0]
+    return int(row["occs"] or 0), int(row["forms"])

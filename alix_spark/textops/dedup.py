@@ -1,0 +1,288 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything stays JVM-side (hash/array builtins) except nothing — even the
+MinHash signatures are computed with ``transform``/``aggregate`` column
+expressions over the shingle array, so whole-stage codegen applies and the
+operators survive a 100× scale-up (the LSH band join is an equi-join on
+(band, bucket-hash), which Spark shuffles by key — no cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alix_spark.analysis.simple import tokens_array
+
+# MinHash permutation family h_i(x) = (a_i * x + b_i) mod 2^31-1.
+# 31-bit universe keeps every intermediate product below 2^62, safe for
+# Spark's int64 arithmetic under ANSI overflow checking.
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via splitmix-ish integer mixing."""
+    params = []
+    state = seed
+    for _ in range(n_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state | 1) % _MERSENNE
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def shingles(text_col, n: int = 3):
+    """Array of n-token shingles (strings) from a text column."""
+    toks = tokens_array(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+            )
+        )
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(content_hash, n_dups, keep_id) — exact duplicate groups by md5.
+
+    The canonical survivor is the minimum doc id (deterministic).
+    """
+    return (
+        docs.select(
+            F.md5(F.col(text_col)).alias("content_hash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures.
+
+    shingle → xxhash64 → n permutations → per-permutation min, all as
+    column expressions (``transform`` + ``array_min``).
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    params = _perm_params(n_hashes, seed)
+
+    def perm(a: int, b: int):
+        # closure factory: PySpark introspects lambda arity, so the lambda
+        # must take exactly one parameter
+        return lambda h: (h * a + b) % _MERSENNE
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, perm(a, b))) for (a, b) in params]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH → (id_a, id_b, n_bands).
+
+    Docs sharing ≥1 band bucket become candidates; the join is an
+    equi-join on (band, bucket) so it shuffles by bucket — the scalable
+    path (never an all-pairs comparison).
+    """
+    assert bands * rows <= 256, "bands*rows must be <= signature length"
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """(id_a, id_b, jaccard_est) — fraction of equal signature slots."""
+    sa = signatures.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_est",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.size("sig_a"),
+                4,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash over token xxhash64 values.
+
+    Majority vote per bit: sum over tokens of (+1 / −1) per bit, sign →
+    bit. Implemented with ``aggregate`` over the token array entirely in
+    codegen (no UDF).
+    """
+    toks = tokens_array(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # literal bit masks (sign bit expressed as the negative two's-complement
+    # value so every mask fits a signed int64)
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
+    masks_col = F.array(*[F.lit(m).cast("long") for m in masks])
+    # per-bit ±1 counters folded into one array<long> accumulator
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks_col,
+                lambda m: F.when(h.bitwiseAND(m) != 0, 1)
+                .otherwise(-1)
+                .cast("long"),
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counts,
+            masks_col,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+
+
+def hamming_distance(col_a, col_b):
+    """Hamming distance between two int64 hashes — bit_count(xor)."""
+    return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def simhash_near_dups(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) candidate pairs within a Hamming radius.
+
+    Blocking: split the 64-bit hash into ``max_hamming + 1`` chunks — by
+    pigeonhole, any pair within the radius shares at least one exact
+    chunk; join per chunk (equi-join, scalable), then verify exactly.
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunked = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        "chunk_idx",
+        "chunk",
+    )
+    b = chunked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        "chunk_idx",
+        "chunk",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", hamming_distance(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs → (id_a, id_b, jaccard).
+
+    Verification stage after LSH blocking: joins each pair to its two
+    shingle sets and computes |∩| / |∪| with array builtins.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidate_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 4))
+        .select("id_a", "id_b", "jaccard")
+    )

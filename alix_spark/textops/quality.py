@@ -1,0 +1,136 @@
+"""Text analysis: token counting, quality scoring, language ID,
+fingerprinting — all as JVM-side column expressions (no Python in the hot
+path) except where a hash kernel genuinely needs numpy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alix_spark.analysis.simple import tokens_array
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language identifier. Public knowledge (most frequent function words).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "en", "un", "por"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punct token count — JVM-side."""
+    return F.size(tokens_array(text))
+
+
+def text_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, n_chars_raw) quality metrics.
+
+    ttr = type/token ratio, the classic lexical-diversity quality signal.
+    """
+    toks = tokens_array(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_raw"),
+    ).withColumn(
+        "ttr",
+        F.round(
+            F.col("n_types").cast("double")
+            / F.greatest(F.col("n_tokens").cast("double"), F.lit(1.0)),
+            4,
+        ),
+    )
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, mean_token_len, digit_ratio, punct_ratio, quality).
+
+    A simple, deterministic composite: longer-than-noise tokens, few
+    digits, moderate punctuation → higher score. All in codegen.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("double")
+    n_digits = n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    toks = tokens_array(text)
+    n_tokens = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+    mean_tok = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", "")) / n_tokens
+    digit_ratio = n_digits / F.greatest(n_chars, F.lit(1.0))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
+    quality = (
+        F.least(mean_tok / 8.0, F.lit(1.0))
+        * (1.0 - digit_ratio)
+        * (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0)))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) — stopword-marker vote.
+
+    Counts marker-word hits per language over the token array (JVM-side
+    ``array_intersect``-free: size of filtered array per language) and
+    takes the argmax, ties broken by language code ascending.
+    """
+    toks = tokens_array(F.col(text_col))
+
+    def marker_filter(lang: str):
+        markers = LANG_MARKERS[lang]
+        return lambda t: t.isin(markers)
+
+    hit_cols = [
+        F.struct(
+            F.size(F.filter(toks, marker_filter(lang))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(LANG_MARKERS)
+    ]
+    # argmax via array_max over (hits, -lang) structs: struct compare is
+    # lexicographic, ties must fall to the ascending lang ⇒ compare on
+    # (hits, reversed-lang) is messy; instead sort desc by hits then asc
+    # lang via sort_array of (negated hits, lang).
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-s.getField("hits")).alias("neg"), s.getField("lang").alias("lang"),
+                    s.getField("hits").alias("hits"),
+                )
+                for s in hit_cols
+            ]
+        )
+    )
+    best = ranked.getItem(0)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        best.getField("lang").alias("lang_pred"),
+        best.getField("hits").cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp) — document fingerprint: xxhash64 of the normalized
+    token stream (rolling-hash analogue, deterministic)."""
+    toks = tokens_array(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.xxhash64(F.array_join(toks, " ")).alias("fp"),
+    )
