@@ -218,7 +218,7 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity search — LSH-bucketed ANN around vec_id 0."""
     emb = load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return sim_mod.lsh_knn(emb, list(qvec), k=10, n_planes=6)
+    return sim_mod.lsh_knn(emb, list(qvec), k=10, n_planes=6, exclude_id=0)
 
 
 # ---------------------------------------------------------------------- #

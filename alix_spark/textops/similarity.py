@@ -93,6 +93,7 @@ def lsh_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    exclude_id: int | None = None,
 ) -> DataFrame:
     """ANN: score only vectors in the query's hyperplane bucket.
 
@@ -109,6 +110,8 @@ def lsh_knn(
         if d >= 0:
             q_sig |= 1 << i
     df = embeddings.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
     q = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
     return (
         df.filter(F.col("_sig") == q_sig)

@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` = total wall seconds of the headline suite (lower is better).
+Also reports index-build docs/sec (the north-rule throughput number) in
+the queries map as "index_build_docs_per_sec" (higher is better; not a
+latency).
+
+Scaling evidence (local[8] vs local[32]) is produced by bench_scaling.py
+and recorded in BENCH/BASELINE.md — not here, to keep the per-round bench
+fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from alix_spark import Corpus, get_spark
+    from alix_spark.cooc import ngrams as ngrams_mod
+    from alix_spark.cooc import window as window_mod
+    from alix_spark.stats import fieldtext as ft_mod
+    from alix_spark.textops import dedup as dedup_mod
+    from alix_spark.textops import similarity as sim_mod
+
+    spark = get_spark(
+        app_name="alix-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # the tiny bench parquet arrives as 1-2 splits; spread it so UDF
+    # kernels and the tokenize stage use every core (a real corpus would
+    # already have many input splits)
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .repartition(int(CPUS))
+        .cache()
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- index build: tokenize -> postings + doc_lens + forms -> parquet sink
+    n_docs = docs.count()
+    tmp = tempfile.mkdtemp(prefix="alix_bench_idx_")
+    c = Corpus(docs, cache=False)
+
+    def build_index():
+        c.postings.write.mode("overwrite").parquet(f"{tmp}/postings")
+        c.doc_lens.write.mode("overwrite").parquet(f"{tmp}/doc_lens")
+        c.forms.write.mode("overwrite").parquet(f"{tmp}/forms")
+
+    timed("index_build", build_index)
+    docs_per_sec = round(n_docs / timings["index_build"], 1)
+
+    # reload the persisted index (query from disk, as a real engine would)
+    postings = spark.read.parquet(f"{tmp}/postings").cache()
+    doc_lens = spark.read.parquet(f"{tmp}/doc_lens").cache()
+    postings.count(), doc_lens.count()  # warm the cache outside timings
+    cq = Corpus(docs)  # for tokens-based ops
+    tokens = cq.tokens
+
+    from alix_spark.search import bm25 as bm25_mod
+
+    n, avgdl = bm25_mod.corpus_stats(doc_lens)
+
+    timed(
+        "bm25_topk",
+        lambda: bm25_mod.bm25_topk(
+            postings, doc_lens, ["fast", "join", "merge"], k=10,
+            n_docs=n, avgdl=avgdl,
+        ).collect(),
+    )
+    timed(
+        "term_freq",
+        lambda: ft_mod.term_stats(postings)
+        .orderBy(F.desc("occs"), F.asc("term"))
+        .limit(100)
+        .collect(),
+    )
+    timed(
+        "boolean",
+        lambda: postings.filter(F.col("term").isin(["fast", "join"]))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("m"))
+        .filter(F.col("m") == 2)
+        .count(),
+    )
+    timed(
+        "cooc_window",
+        lambda: window_mod.cooc_window(tokens, "fast", 3, 3)
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(50)
+        .collect(),
+    )
+    timed(
+        "bigrams",
+        lambda: ngrams_mod.bigrams(tokens)
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+        .collect(),
+    )
+
+    def minhash():
+        sigs = dedup_mod.minhash_signatures(docs)
+        pairs = dedup_mod.minhash_lsh_pairs(sigs, bands=16, rows=4)
+        return dedup_mod.minhash_jaccard_estimate(sigs, pairs).count()
+
+    timed("minhash_dedup", minhash)
+
+    def simhash():
+        sims = dedup_mod.simhash(docs)
+        return dedup_mod.simhash_near_dups(sims, max_hamming=3).count()
+
+    timed("simhash_dedup", simhash)
+
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    timed(
+        "knn_brute",
+        lambda: sim_mod.brute_force_knn(emb, list(qvec), k=10, exclude_id=0).collect(),
+    )
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    queries = dict(timings)
+    queries["index_build_docs_per_sec"] = docs_per_sec
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_docs": n_docs,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
