@@ -27,6 +27,7 @@ reference's ``TopArray``, ``/root/reference/java/alix/util/TopArray.java:42``).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -55,11 +56,36 @@ def tf_expr(
 
 
 def corpus_stats(doc_lens: DataFrame) -> tuple[int, float]:
-    """(n_docs, avgdl) in one tiny job."""
+    """(n_docs, avgdl) in one tiny job.
+
+    avgdl matches Lucene's ``avgFieldLength`` = sumTotalTermFreq/docCount
+    computed on EXACT lengths (quantization only applies to the per-doc
+    length in the tf denominator, not to the average).
+    """
     row = doc_lens.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def with_quantized_dl(doc_lens: DataFrame) -> DataFrame:
+    """Replace ``dl`` with the Lucene-visible length: the SmallFloat
+    byte4 norm decode (codec validated byte-for-byte vs lucene-core-8.8.1).
+
+    At query time Lucene reads the 1-byte norm, so two docs of length 41
+    and 40 score identically — rank identity with the reference requires
+    reproducing exactly this loss.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    from alix_spark.index.codec import quantize_doc_len
+
+    @pandas_udf(IntegerType())
+    def _q(dl: pd.Series) -> pd.Series:
+        return pd.Series(quantize_doc_len(dl.to_numpy()).astype("int32"))
+
+    return doc_lens.withColumn("dl", _q(F.col("dl")))
 
 
 def score_terms(
@@ -86,21 +112,23 @@ def score_terms(
         dfs = qp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     else:
         dfs = dfs.filter(F.col("term").isin(terms)).select("term", "df")
+    part = idf_expr(F.col("df").cast("double"), n_docs) * tf_expr(
+        F.col("tf").cast("double"),
+        F.col("dl").cast("double"),
+        avgdl,
+        k1,
+        b,
+        lucene,
+    )
+    if lucene:
+        # Lucene's per-clause Scorer.score() returns float32; the boolean
+        # sum then accumulates those floats in double. Mimic the cast so
+        # ties and near-ties order identically.
+        part = part.cast("float").cast("double")
     scored = (
         qp.join(F.broadcast(dfs), "term")
         .join(doc_lens, "doc_id")
-        .withColumn(
-            "score_part",
-            idf_expr(F.col("df").cast("double"), n_docs)
-            * tf_expr(
-                F.col("tf").cast("double"),
-                F.col("dl").cast("double"),
-                avgdl,
-                k1,
-                b,
-                lucene,
-            ),
-        )
+        .withColumn("score_part", part)
     )
     return scored.select("doc_id", "term", "tf", "score_part")
 
@@ -123,10 +151,25 @@ def bm25_topk(
     (SURVEY.md §7.4.2).
     """
     if n_docs is None or avgdl is None:
-        n_docs, avgdl = corpus_stats(doc_lens)
+        n_docs, avgdl = corpus_stats(doc_lens)  # exact lengths (Lucene too)
+    if lucene:
+        doc_lens = with_quantized_dl(doc_lens)
     scored = score_terms(
         postings, doc_lens, terms, n_docs, avgdl, k1, b, lucene, dfs=dfs
     )
+    # duplicate query terms are distinct SHOULD clauses in Lucene: each
+    # occurrence contributes its clause score again
+    from collections import Counter
+
+    mult = Counter(terms)
+    if any(c > 1 for c in mult.values()):
+        wmap = F.create_map(
+            *[F.lit(x) for tc in mult.items() for x in tc]
+        )
+        scored = scored.withColumn(
+            "score_part",
+            F.col("score_part") * wmap[F.col("term")].cast("double"),
+        )
     return (
         scored.groupBy("doc_id")
         .agg(F.sum("score_part").alias("score"))
