@@ -192,7 +192,252 @@ def q_shared_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_mod.doc_shared_vocab(c.postings, 0, 1, c.doc_lens, k=100)
 
 
+def q_specificity_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — G-test specificity of the lang='fr' sub-corpus, top 50."""
+    from alix_spark.stats.scorers import specificity
+
+    c = _corpus(spark, sf_dir)
+    sub = c.docs.filter(F.col("lang") == "fr").select("doc_id")
+    return (
+        specificity(c.postings, c.forms, sub, scorer="g")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_specificity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — chi2 specificity of the lang='fr' sub-corpus, top 50."""
+    from alix_spark.stats.scorers import specificity
+
+    c = _corpus(spark, sf_dir)
+    sub = c.docs.filter(F.col("lang") == "fr").select("doc_id")
+    return (
+        specificity(c.postings, c.forms, sub, scorer="chi2")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_tfidf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — top terms of doc 0 with the reference's tf-idf variant."""
+    from alix_spark.stats.scorers import tfidf_doc_terms
+
+    c = _corpus(spark, sf_dir)
+    return (
+        tfidf_doc_terms(c.postings, c.doc_lens, c.n_docs, 0)
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_int_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — doc/token distribution over an int field (n_chars // 100)."""
+    from alix_spark.stats.fieldint import int_distribution
+
+    c = _corpus(spark, sf_dir)
+    d = c.docs.withColumn("bucketed", (F.col("n_chars") / 100).cast("long"))
+    return int_distribution(d, c.doc_lens, "bucketed").select(
+        F.col("value"), "docs", "occs"
+    )
+
+
+def q_chronology_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — equal-token chronology buckets over the n_chars axis with
+    two term-group curves."""
+    from alix_spark.stats.scale import chronology
+
+    c = _corpus(spark, sf_dir)
+    return chronology(
+        c.docs,
+        c.doc_lens,
+        c.postings,
+        {"speed": ["fast", "slow"], "storage": ["table", "row", "column"]},
+        axis_col="n_chars",
+        dots=8,
+    ).select("bucket", "group", "freq", "axis_min", "axis_max", "bucket_occs")
+
+
+def q_repartition_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — per-form doc-repartition chi2, top 50."""
+    from alix_spark.stats.matrix import repartition_chi2
+
+    c = _corpus(spark, sf_dir)
+    return (
+        repartition_chi2(c.postings, c.doc_lens, c.forms)
+        .orderBy(F.desc("chi2"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_cooc_mi_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — windowed co-occurrents of the pivot scored by signed G."""
+    from alix_spark.cooc.mi import score_coocs
+    from alix_spark.cooc.window import cooc_window, pivot_found
+
+    c = _corpus(spark, sf_dir)
+    from alix_spark.index.build import corpus_totals
+
+    coocs = cooc_window(c.tokens, PIVOT, left=3, right=3)
+    found = pivot_found(c.tokens, PIVOT)
+    all_occs, _ = corpus_totals(c.forms)
+    return (
+        score_coocs(coocs, c.forms, found, all_occs, mi="g")
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_cooc_window_rails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 via the rails engine — must equal the token-join variant, so it
+    shares the cooc_window oracle."""
+    from alix_spark.cooc.rails import build_rails, cooc_window_rails
+
+    c = _corpus(spark, sf_dir)
+    token_table = c.tokens  # simple chain: no holes
+    rails = build_rails(token_table, c.forms)
+    pivot_ids = [
+        r["form_id"]
+        for r in c.forms.filter(F.col("term") == PIVOT).collect()
+    ]
+    coocs = cooc_window_rails(rails, pivot_ids, left=3, right=3)
+    return (
+        coocs.join(c.forms.select("form_id", "term"), "form_id")
+        .select("term", "freq", "hits")
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_word_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — co-occurrence edges in a 3-token sliding window, top 50."""
+    from alix_spark.cooc.ngrams import word_network
+
+    c = _corpus(spark, sf_dir)
+    _, edges = word_network(c.tokens, width=3)
+    return edges.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(50)
+
+
+def q_rank_theme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — doc ranking under the 'theme' similarity (tf/docLen)."""
+    from alix_spark.search.similarity import rank_docs
+
+    c = _corpus(spark, sf_dir)
+    return rank_docs(c.postings, c.doc_lens, list(BM25_TERMS), sim="theme", k=10)
+
+
+def q_rank_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — doc ranking under the signed G-test similarity."""
+    from alix_spark.search.similarity import rank_docs
+
+    c = _corpus(spark, sf_dir)
+    return rank_docs(c.postings, c.doc_lens, list(BM25_TERMS), sim="g", k=10)
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — docs similar to doc 0 via its top tf-idf terms → BM25."""
+    from alix_spark.search.similarity import more_like_this
+
+    c = _corpus(spark, sf_dir)
+    n, avgdl = c.n_docs, c.avgdl
+    return more_like_this(
+        c.postings, c.doc_lens, 0, n, avgdl, n_terms=20, k=10
+    ).select("doc_id", F.round("score", 4).alias("score"))
+
+
 # rows-only checks (hash functions not reproducible in DuckDB) ----------- #
+
+
+def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — KWIC concordance for the pivot term (offsets from the simple
+    chain via a per-doc kernel); rows-only check."""
+    from alix_spark.render.kwic import kwic
+
+    docs = load_documents(spark, sf_dir)
+    # offsets for the simple chain: rebuild via the French tokenizer's
+    # offset discipline is overkill here — regex matches inside the kernel
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("term", StringType()),
+        ]
+    )
+
+    import re as _re
+
+    pat = _re.compile(rf"\b{PIVOT}\b")
+
+    def offsets(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for m in pat.finditer(text or ""):
+                    rows.append((int(doc_id), m.start(), m.end(), PIVOT))
+            yield pd.DataFrame(rows, columns=["doc_id", "start", "end", "term"])
+
+    token_table = docs.select("doc_id", "text").mapInPandas(offsets, schema)
+    return kwic(docs, token_table, [PIVOT], context=30).orderBy(
+        "doc_id", "start"
+    )
+
+
+def q_fr_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T7 — the French analysis chain over the corpus: indexed-term
+    frequencies through the full tokenize→lemmatize→compound pipeline;
+    rows-only check (semantics golden-tested in tests/test_french_analysis)."""
+    from alix_spark.analysis.pipeline import analyze_documents, fr_tokens_for_index
+
+    docs = load_documents(spark, sf_dir)
+    token_table = analyze_documents(docs, "doc_id", "text")
+    toks = fr_tokens_for_index(token_table)
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("occs"))
+        .orderBy(F.desc("occs"), F.asc("term"))
+        .limit(100)
+    )
+
+
+def q_bm25_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 Lucene-faithful variant (SmallFloat norms) — rank-identity vs
+    the reference jar is enforced in pytest; rows-only here (the norm
+    quantization is not expressible in DuckDB SQL)."""
+    c = _corpus(spark, sf_dir)
+    return c.search(" ".join(BM25_TERMS), k=10, lucene=True)
+
+
+def q_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — multi-word expression mining over rails; rows-only."""
+    from alix_spark.cooc.rails import build_rails, expressions
+
+    c = _corpus(spark, sf_dir)
+    rails = build_rails(c.tokens, c.forms)
+    stops = set()  # synthetic corpus has no stopword list
+    exprs = expressions(rails, stops, min_len=2, max_len=3)
+    return (
+        exprs.withColumn("expression", F.col("expression").cast("array<long>"))
+        .orderBy(F.desc("n"), F.asc(F.col("expression").cast("string")))
+        .limit(50)
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text analysis — stopword-marker language ID; rows-only."""
+    docs = load_documents(spark, sf_dir)
+    return quality_mod.language_id(docs).orderBy("doc_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text analysis — token-stream fingerprints; rows-only (xxhash64)."""
+    docs = load_documents(spark, sf_dir)
+    return quality_mod.fingerprint(docs).orderBy("doc_id")
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,9 +494,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chronology": q_chronology,
         "knn_brute": q_knn_brute,
         "shared_vocab": q_shared_vocab,
+        "specificity_g": q_specificity_g,
+        "specificity_chi2": q_specificity_chi2,
+        "tfidf_doc_terms": q_tfidf_doc_terms,
+        "int_distribution": q_int_distribution,
+        "chronology_scale": q_chronology_scale,
+        "repartition_chi2": q_repartition_chi2,
+        "cooc_mi_g": q_cooc_mi_g,
+        "cooc_window_rails": q_cooc_window_rails,
+        "word_network": q_word_network,
+        "rank_theme": q_rank_theme,
+        "rank_g": q_rank_g,
+        "more_like_this": q_more_like_this,
         "minhash_pairs": q_minhash_pairs,
         "simhash_dups": q_simhash_dups,
         "lsh_knn": q_lsh_knn,
+        "kwic": q_kwic,
+        "fr_analysis": q_fr_analysis,
+        "bm25_lucene": q_bm25_lucene,
+        "expressions": q_expressions,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -436,6 +699,283 @@ def oracle_sql() -> dict[str, str]:
             FROM ta JOIN tb USING (term) CROSS JOIN la CROSS JOIN lb
             ORDER BY score DESC, ta.term ASC LIMIT 100
         """,
-        # minhash_pairs / simhash_dups / lsh_knn: xxhash64-based — not
-        # reproducible in DuckDB; driver records rows-only checks.
+        "specificity_g": f"""
+            WITH {TOK_CTE},
+            part AS (SELECT t.term, CAST(count(*) AS DOUBLE) AS o
+                     FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+                     WHERE d.lang = 'fr' GROUP BY t.term),
+            allf AS (SELECT term, CAST(count(*) AS DOUBLE) AS occs
+                     FROM tok GROUP BY term),
+            tot AS (SELECT
+                (SELECT CAST(count(*) AS DOUBLE) FROM tok t
+                 JOIN documents d ON t.doc_id = d.doc_id
+                 WHERE d.lang = 'fr') AS tp,
+                (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS ta)
+            SELECT term, CAST(o AS BIGINT) AS part_occs,
+                   ROUND(CASE WHEN o < occs * tp / ta THEN -g ELSE g END, 4)
+                     AS score
+            FROM (
+              SELECT p.term, p.o, a.occs,
+                     2.0 * (
+                       CASE WHEN p.o > 0
+                            THEN p.o * ln(p.o / (a.occs * t.tp / t.ta))
+                            ELSE 0 END
+                       + CASE WHEN a.occs - p.o > 0
+                              THEN (a.occs - p.o)
+                                   * ln((a.occs - p.o)
+                                        / (a.occs * (1 - t.tp / t.ta)))
+                              ELSE 0 END
+                     ) AS g, t.tp, t.ta
+              FROM part p JOIN allf a USING (term) CROSS JOIN tot t)
+            ORDER BY score DESC, term ASC LIMIT 50
+        """,
+        "specificity_chi2": f"""
+            WITH {TOK_CTE},
+            part AS (SELECT t.term, CAST(count(*) AS DOUBLE) AS o
+                     FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+                     WHERE d.lang = 'fr' GROUP BY t.term),
+            allf AS (SELECT term, CAST(count(*) AS DOUBLE) AS occs
+                     FROM tok GROUP BY term),
+            tot AS (SELECT
+                (SELECT CAST(count(*) AS DOUBLE) FROM tok t
+                 JOIN documents d ON t.doc_id = d.doc_id
+                 WHERE d.lang = 'fr') AS tp,
+                (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS ta)
+            SELECT term, CAST(o AS BIGINT) AS part_occs,
+                   ROUND(CASE WHEN o < e THEN -(o - e) * (o - e) / e
+                              ELSE (o - e) * (o - e) / e END, 4) AS score
+            FROM (SELECT p.term, p.o, a.occs * t.tp / t.ta AS e
+                  FROM part p JOIN allf a USING (term) CROSS JOIN tot t)
+            ORDER BY score DESC, term ASC LIMIT 50
+        """,
+        "tfidf_doc_terms": f"""
+            WITH {TOK_CTE},
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+            dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                      AS df FROM tok GROUP BY term),
+            d0 AS (SELECT term, CAST(count(*) AS DOUBLE) AS tf
+                   FROM tok WHERE doc_id = 0 GROUP BY term),
+            dl0 AS (SELECT CAST(count(*) AS DOUBLE) AS dl
+                    FROM tok WHERE doc_id = 0)
+            SELECT d0.term, CAST(d0.tf AS BIGINT) AS tf,
+                   ROUND(pow(1 + ln((n.n + 1) / (f.df + 1)), 2)
+                         * (0.2 + 0.8 * d0.tf / dl0.dl), 4) AS score
+            FROM d0 JOIN dfreq f USING (term)
+            CROSS JOIN n CROSS JOIN dl0
+            ORDER BY score DESC, term ASC LIMIT 50
+        """,
+        "int_distribution": f"""
+            WITH {TOK_CTE},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+            SELECT CAST(floor(d.n_chars / 100) AS BIGINT) AS value,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(dl.dl) AS BIGINT) AS occs
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+            GROUP BY CAST(floor(d.n_chars / 100) AS BIGINT)
+        """,
+        "chronology_scale": f"""
+            WITH {TOK_CTE},
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                   FROM tok GROUP BY doc_id),
+            ax AS (SELECT d.doc_id, d.n_chars AS axis, dl.dl
+                   FROM documents d JOIN dl USING (doc_id)),
+            tot AS (SELECT CAST(sum(dl) AS DOUBLE) AS t FROM dl),
+            bk AS (SELECT doc_id, axis, dl,
+                          LEAST(CAST(floor(
+                            COALESCE(SUM(dl) OVER (ORDER BY axis, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) * 8 / (SELECT t FROM tot)
+                          ) AS INTEGER), 7) AS bucket
+                   FROM ax),
+            gmap(grp, term) AS (VALUES
+              ('speed', 'fast'), ('speed', 'slow'),
+              ('storage', 'table'), ('storage', 'row'),
+              ('storage', 'column')),
+            matched AS (SELECT t.doc_id, g.grp,
+                               CAST(count(*) AS BIGINT) AS freq
+                        FROM tok t JOIN gmap g ON t.term = g.term
+                        GROUP BY t.doc_id, g.grp),
+            per_bucket AS (SELECT b.bucket, m.grp AS "group",
+                                  CAST(sum(m.freq) AS BIGINT) AS freq
+                           FROM bk b JOIN matched m USING (doc_id)
+                           GROUP BY b.bucket, m.grp),
+            sizes AS (SELECT bucket,
+                             CAST(sum(dl) AS BIGINT) AS bucket_occs,
+                             min(axis) AS axis_min, max(axis) AS axis_max
+                      FROM bk GROUP BY bucket)
+            SELECT p.bucket, p."group", p.freq,
+                   s.axis_min, s.axis_max, s.bucket_occs
+            FROM per_bucket p JOIN sizes s USING (bucket)
+        """,
+        "repartition_chi2": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf
+                   FROM tok GROUP BY term, doc_id),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                   FROM tok GROUP BY doc_id),
+            occ AS (SELECT term, CAST(count(*) AS DOUBLE) AS occs
+                    FROM tok GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+            pres AS (SELECT t.term,
+                            SUM(pow(t.tf - o.occs * d.dl / n.n, 2)
+                                / (o.occs * d.dl / n.n)) AS chi_p,
+                            SUM(d.dl) AS dl_p,
+                            any_value(o.occs) AS occs
+                     FROM tf t JOIN dl d USING (doc_id)
+                     JOIN occ o USING (term) CROSS JOIN n
+                     GROUP BY t.term)
+            SELECT term,
+                   ROUND(chi_p + occs * ((SELECT n FROM n) - dl_p)
+                                 / (SELECT n FROM n), 4) AS chi2
+            FROM pres
+            ORDER BY chi2 DESC, term ASC LIMIT 50
+        """,
+        "cooc_mi_g": f"""
+            WITH {TOK_CTE},
+            piv AS (SELECT doc_id, pos FROM tok WHERE term = '{PIVOT}'),
+            ctx AS (SELECT DISTINCT t.doc_id, t.pos, t.term
+                    FROM tok t JOIN piv p
+                      ON t.doc_id = p.doc_id
+                     AND t.pos BETWEEN p.pos - 3 AND p.pos + 3
+                    WHERE t.term <> '{PIVOT}'),
+            co AS (SELECT term, CAST(count(*) AS BIGINT) AS freq,
+                          CAST(count(DISTINCT doc_id) AS BIGINT) AS hits
+                   FROM ctx GROUP BY term),
+            occ AS (SELECT term, CAST(count(*) AS DOUBLE) AS occs
+                    FROM tok GROUP BY term),
+            stats AS (SELECT
+                (SELECT CAST(count(*) AS DOUBLE) FROM tok
+                 WHERE term = '{PIVOT}') AS oa,
+                (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS n)
+            SELECT term, freq, hits,
+                   ROUND(CASE WHEN o11 < oa * ob / n THEN -g ELSE g END, 4)
+                     AS score
+            FROM (
+              SELECT c.term, c.freq, c.hits,
+                     LEAST(CAST(c.freq AS DOUBLE), o.occs) AS o11,
+                     s.oa, o.occs AS ob, s.n,
+                     2.0 * (
+                       CASE WHEN LEAST(CAST(c.freq AS DOUBLE), o.occs) > 0
+                            THEN LEAST(CAST(c.freq AS DOUBLE), o.occs)
+                                 * ln(LEAST(CAST(c.freq AS DOUBLE), o.occs)
+                                      / (s.oa * o.occs / s.n)) ELSE 0 END
+                       + CASE WHEN s.oa - LEAST(CAST(c.freq AS DOUBLE), o.occs) > 0
+                              THEN (s.oa - LEAST(CAST(c.freq AS DOUBLE), o.occs))
+                                   * ln((s.oa - LEAST(CAST(c.freq AS DOUBLE), o.occs))
+                                        / (s.oa * (s.n - o.occs) / s.n))
+                              ELSE 0 END
+                       + CASE WHEN o.occs - LEAST(CAST(c.freq AS DOUBLE), o.occs) > 0
+                              THEN (o.occs - LEAST(CAST(c.freq AS DOUBLE), o.occs))
+                                   * ln((o.occs - LEAST(CAST(c.freq AS DOUBLE), o.occs))
+                                        / ((s.n - s.oa) * o.occs / s.n))
+                              ELSE 0 END
+                       + CASE WHEN s.n - s.oa - o.occs
+                                   + LEAST(CAST(c.freq AS DOUBLE), o.occs) > 0
+                              THEN (s.n - s.oa - o.occs
+                                    + LEAST(CAST(c.freq AS DOUBLE), o.occs))
+                                   * ln((s.n - s.oa - o.occs
+                                         + LEAST(CAST(c.freq AS DOUBLE), o.occs))
+                                        / ((s.n - s.oa) * (s.n - o.occs) / s.n))
+                              ELSE 0 END) AS g
+              FROM co c JOIN occ o USING (term) CROSS JOIN stats s)
+            ORDER BY score DESC, term ASC LIMIT 50
+        """,
+        "cooc_window_rails": f"""
+            WITH {TOK_CTE},
+            piv AS (SELECT doc_id, pos FROM tok WHERE term = '{PIVOT}'),
+            ctx AS (SELECT DISTINCT t.doc_id, t.pos, t.term
+                    FROM tok t JOIN piv p
+                      ON t.doc_id = p.doc_id
+                     AND t.pos BETWEEN p.pos - 3 AND p.pos + 3
+                    WHERE t.term <> '{PIVOT}')
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS hits
+            FROM ctx GROUP BY term
+            ORDER BY freq DESC, term ASC LIMIT 50
+        """,
+        "word_network": f"""
+            WITH {TOK_CTE}
+            SELECT LEAST(a.term, b.term) AS w1,
+                   GREATEST(a.term, b.term) AS w2,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + 2
+            GROUP BY LEAST(a.term, b.term), GREATEST(a.term, b.term)
+            ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50
+        """,
+        "rank_theme": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+                   FROM tok WHERE term IN {BM25_IN} GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                   FROM tok GROUP BY doc_id)
+            SELECT t.doc_id, ROUND(SUM(t.f / l.dl), 4) AS score
+            FROM tf t JOIN dl l USING (doc_id)
+            GROUP BY t.doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "rank_g": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+                   FROM tok WHERE term IN {BM25_IN} GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                   FROM tok GROUP BY doc_id),
+            occ AS (SELECT term, CAST(count(*) AS DOUBLE) AS occs
+                    FROM tok WHERE term IN {BM25_IN} GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+            SELECT doc_id, ROUND(SUM(s), 4) AS score FROM (
+              SELECT t.doc_id,
+                     CASE WHEN t.f < o.occs * l.dl / n.n
+                          THEN -2.0 * t.f * ln(t.f / (o.occs * l.dl / n.n))
+                          ELSE 2.0 * t.f * ln(t.f / (o.occs * l.dl / n.n))
+                     END AS s
+              FROM tf t JOIN dl l USING (doc_id)
+              JOIN occ o USING (term) CROSS JOIN n)
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "more_like_this": f"""
+            WITH {TOK_CTE},
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+            dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                      AS df FROM tok GROUP BY term),
+            d0 AS (SELECT term, CAST(count(*) AS DOUBLE) AS tf
+                   FROM tok WHERE doc_id = 0 GROUP BY term),
+            dl0 AS (SELECT CAST(count(*) AS DOUBLE) AS dl
+                    FROM tok WHERE doc_id = 0),
+            top_terms AS (
+              SELECT d0.term
+              FROM d0 JOIN dfreq f USING (term) CROSS JOIN nd CROSS JOIN dl0
+              ORDER BY pow(1 + ln((nd.n + 1) / (f.df + 1)), 2)
+                       * (0.2 + 0.8 * d0.tf / dl0.dl) DESC, d0.term ASC
+              LIMIT 20),
+            qtf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+                    FROM tok WHERE term IN (SELECT term FROM top_terms)
+                    GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                   FROM tok GROUP BY doc_id),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                      FROM dl),
+            qdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                    FROM tok WHERE term IN (SELECT term FROM top_terms)
+                    GROUP BY term)
+            SELECT doc_id, ROUND(score, 4) AS score FROM (
+              SELECT t.doc_id,
+                     SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                         * (t.f * 2.2)
+                           / (t.f + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)))
+                       AS score
+              FROM qtf t JOIN dl l USING (doc_id)
+              JOIN qdf d USING (term) CROSS JOIN stats s
+              WHERE t.doc_id <> 0
+              GROUP BY t.doc_id
+              ORDER BY score DESC, t.doc_id ASC LIMIT 10)
+        """,
+        # minhash_pairs / simhash_dups / lsh_knn / kwic / fr_analysis /
+        # bm25_lucene / expressions / language_id / fingerprint:
+        # hash-based or non-SQL-expressible — driver records rows-only
+        # checks; their semantics are pinned by pytest (Lucene goldens,
+        # French-chain goldens, cross-engine equality tests).
     }

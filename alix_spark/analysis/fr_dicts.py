@@ -1,0 +1,186 @@
+"""Built-in French dictionaries for the analysis chain.
+
+The reference loads ~130k-type CSV lexicons
+(``/root/reference/java/alix/lucene/analysis/FrDics.java:97-170``; the
+big ``word.csv`` is stripped from its snapshot). This module ships a
+compact lexicon with the same SHAPES — (graph → tag, orth, lemma), name
+lists, stopwords, elisions, abbreviation dots, multi-word locutions — big
+enough to exercise every rule family; a production deployment would load
+the full CSVs through :func:`load_lexicon_csv` and broadcast them.
+
+All content here is common-knowledge French function words / sample
+vocabulary, written for this project.
+"""
+
+from __future__ import annotations
+
+# POS tag flags — 8-bit, high nibble = category group, mirroring the
+# reference's tag-group semantics (``/root/reference/java/alix/fr/Tag.java:47-220``;
+# values are ours)
+UNKNOWN = 0x00
+VERB = 0x10
+SUB = 0x20  # substantive (noun)
+NAME = 0x30  # proper name
+ADJ = 0x40
+ADV = 0x50
+DET = 0x60
+PRO = 0x70
+CONJ = 0x80
+PREP = 0x90
+NUM = 0xA0
+EXCL = 0xB0
+PUN = 0xC0
+PUN_DIV = 0xC1  # structural break (paragraph/section)
+PUN_SENT = 0xC2  # sentence punctuation
+
+GROUP_MASK = 0xF0
+
+
+def group(tag: int) -> int:
+    return tag & GROUP_MASK
+
+
+# graph → (tag, orth, lemma); orth/lemma None = same as graph
+WORDS: dict[str, tuple[int, str | None, str | None]] = {
+    # determiners / pronouns / function words (stop-tagged below)
+    "le": (DET, None, "le"), "la": (DET, None, "le"), "les": (DET, None, "le"),
+    "un": (DET, None, "un"), "une": (DET, None, "un"), "des": (DET, None, "un"),
+    "de": (PREP, None, "de"), "du": (DET, None, "du"), "au": (DET, None, "au"),
+    "ce": (PRO, None, "ce"), "cette": (DET, None, "ce"), "ces": (DET, None, "ce"),
+    "je": (PRO, None, "je"), "tu": (PRO, None, "tu"), "il": (PRO, None, "il"),
+    "elle": (PRO, None, "il"), "nous": (PRO, None, "nous"),
+    "vous": (PRO, None, "vous"), "ils": (PRO, None, "il"),
+    "moi": (PRO, None, "moi"), "toi": (PRO, None, "toi"),
+    "qui": (PRO, None, "qui"), "que": (CONJ, None, "que"),
+    "et": (CONJ, None, "et"), "ou": (CONJ, None, "ou"),
+    "ne": (ADV, None, "ne"), "pas": (ADV, None, "pas"),
+    "plus": (ADV, None, "plus"), "très": (ADV, None, "très"),
+    "dans": (PREP, None, "dans"), "sur": (PREP, None, "sur"),
+    "avec": (PREP, None, "avec"), "pour": (PREP, None, "pour"),
+    "en": (PREP, None, "en"), "par": (PREP, None, "par"),
+    "si": (CONJ, None, "si"), "mais": (CONJ, None, "mais"),
+    "parce": (CONJ, None, "parce"),
+    # verbs
+    "est": (VERB, None, "être"), "sont": (VERB, None, "être"),
+    "était": (VERB, None, "être"), "être": (VERB, None, "être"),
+    "a": (VERB, None, "avoir"), "ont": (VERB, None, "avoir"),
+    "avoir": (VERB, None, "avoir"), "avait": (VERB, None, "avoir"),
+    "fait": (VERB, None, "faire"), "faire": (VERB, None, "faire"),
+    "dis": (VERB, None, "dire"), "dit": (VERB, None, "dire"),
+    "va": (VERB, None, "aller"), "vont": (VERB, None, "aller"),
+    "mort": (VERB, None, "mourir"),
+    # nouns
+    "chat": (SUB, None, "chat"), "chats": (SUB, None, "chat"),
+    "homme": (SUB, None, "homme"), "hommes": (SUB, None, "homme"),
+    "femme": (SUB, None, "femme"), "vie": (SUB, None, "vie"),
+    "fleuve": (SUB, None, "fleuve"), "matin": (SUB, None, "matin"),
+    "jour": (SUB, None, "jour"), "jours": (SUB, None, "jour"),
+    "coup": (SUB, None, "coup"), "air": (SUB, None, "air"),
+    "chapitre": (SUB, None, "chapitre"), "livre": (SUB, None, "livre"),
+    "roi": (SUB, None, "roi"), "temps": (SUB, None, "temps"),
+    "monsieur": (SUB, None, "monsieur"), "madame": (SUB, None, "madame"),
+    # adjectives / adverbs
+    "petit": (ADJ, None, "petit"), "petite": (ADJ, None, "petit"),
+    "petits": (ADJ, None, "petit"), "grand": (ADJ, None, "grand"),
+    "grande": (ADJ, None, "grand"), "long": (ADJ, None, "long"),
+    "longue": (ADJ, None, "long"), "tranquille": (ADJ, None, "tranquille"),
+    "bon": (ADJ, None, "bon"), "alors": (ADV, None, "alors"),
+    "bien": (ADV, None, "bien"), "tout": (ADV, None, "tout"),
+}
+
+# graphic normalizations (caps/orth.csv analogue): graph → orth
+NORM: dict[str, str] = {
+    "Etat": "État",
+    "Etats": "États",
+    "oeuvre": "œuvre",
+    "Etre": "Être",
+}
+
+# proper names: graph → (tag, orth)
+NAMES: dict[str, tuple[int, str | None]] = {
+    "Victor": (NAME, None),
+    "Hugo": (NAME, None),
+    "Jean": (NAME, None),
+    "Paris": (NAME, None),
+    "France": (NAME, None),
+    "Dupont": (NAME, None),
+    "Zola": (NAME, None),
+    "La": (NAME, None),  # as in "La Salle" (particle-capitalized)
+    "Salle": (NAME, None),
+}
+
+STOP: set[str] = {
+    "le", "la", "les", "un", "une", "des", "de", "du", "au", "ce", "cette",
+    "ces", "je", "tu", "il", "elle", "nous", "vous", "ils", "qui", "que",
+    "et", "ou", "ne", "pas", "plus", "dans", "sur", "avec", "pour", "en",
+    "par", "si", "mais", "être", "avoir", "faire", "est", "sont", "a",
+    "ont", "très", "bien", "tout", "alors", "moi", "toi", "parce que",
+}
+
+# elision prefixes (ellision.csv analogue): apostrophe form → normalized
+ELISION: dict[str, str] = {
+    "l'": "le", "d'": "de", "j'": "je", "n'": "ne", "s'": "se", "c'": "ce",
+    "t'": "te", "m'": "me", "qu'": "que", "jusqu'": "jusque",
+    "lorsqu'": "lorsque", "puisqu'": "puisque", "quoiqu'": "quoique",
+}
+
+# enclitic pronouns after hyphen (HYPHEN_POST analogue)
+HYPHEN_POST: set[str] = {
+    "moi", "toi", "lui", "nous", "vous", "le", "la", "les", "leur", "y",
+    "en", "ce", "elle", "elles", "il", "ils", "je", "tu", "on",
+}
+
+# abbreviations ending with a dot that is part of the token
+# (brevidot.csv analogue): graph (without dot) → orth
+BREVIDOT: dict[str, str] = {
+    "M": "M.", "MM": "MM.", "Mme": "Mme", "Mlle": "Mlle", "Dr": "Dr",
+    "St": "St", "cf": "cf.", "etc": "etc.", "p": "p.", "t": "t.",
+}
+
+# multi-word locutions (locutions.csv analogue): token-tuple → (orth, tag)
+LOCUTIONS: dict[tuple[str, ...], tuple[str, int]] = {
+    ("parce", "que"): ("parce que", CONJ),
+    ("avoir", "l'", "air"): ("avoir l'air", VERB),
+    ("tout", "à", "coup"): ("tout à coup", ADV),
+    ("au", "fur", "et", "à", "mesure"): ("au fur et à mesure", ADV),
+    ("grand", "chose"): ("grand-chose", PRO),
+    ("n'", "importe", "quel"): ("n'importe quel", DET),
+}
+
+# particles allowed inside person names (FrPersnameFilter.PARTICLES)
+PARTICLES: set[str] = {"de", "du", "des", "d'", "la", "le", "van", "von"}
+
+
+def build_locution_trie() -> dict:
+    """LOCUTIONS as a nested-dict prefix trie: the TREELOC analogue
+    (``FrDics.java:323-343``). Leaf marker key: '$' → (orth, tag)."""
+    trie: dict = {}
+    for toks, payload in LOCUTIONS.items():
+        node = trie
+        for t in toks:
+            node = node.setdefault(t, {})
+        node["$"] = payload
+    return trie
+
+
+def load_lexicon_csv(path: str) -> dict[str, tuple[int, str | None, str | None]]:
+    """Load a full-size lexicon CSV (GRAPH,TAG,ORTH,LEM) — the shape of
+    the reference's word.csv (``FrDics.java:187-230``)."""
+    import csv
+
+    tag_names = {
+        "VERB": VERB, "SUB": SUB, "NAME": NAME, "ADJ": ADJ, "ADV": ADV,
+        "DET": DET, "PRO": PRO, "CONJ": CONJ, "PREP": PREP, "NUM": NUM,
+        "EXCL": EXCL,
+    }
+    out: dict[str, tuple[int, str | None, str | None]] = {}
+    with open(path, newline="", encoding="utf-8") as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            graph = row[0]
+            tag = tag_names.get(row[1] if len(row) > 1 else "", UNKNOWN)
+            orth = row[2] or None if len(row) > 2 else None
+            lem = row[3] or None if len(row) > 3 else None
+            out[graph] = (tag, orth, lem)
+    return out

