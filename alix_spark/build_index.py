@@ -100,10 +100,11 @@ def main(argv: list[str] | None = None) -> int:
         lambda: seg_mod.build_segments(
             postings.select("term", "doc_id", "tf"),
             doc_lens,
-            avgdl,
             seg_size=args.seg_size,
             n_buckets=args.buckets,
-        ),
+        # one file per bucket dir (not shuffle-partitions × buckets): the
+        # file-commit count is a serial cost and query-side open cost
+        ).repartition(args.buckets, F.col("bucket")),
         partition_by=["bucket"],
     )
     norms = ctx.run_stage(
@@ -112,15 +113,14 @@ def main(argv: list[str] | None = None) -> int:
 
     seg_size = args.seg_size
     for r in range(1, args.merge_rounds + 1):
-        def do_merge(segs=segs, norms=norms, seg_size=seg_size):
-            m, n = seg_mod.merge_segments(
-                segs, norms, avgdl, group=args.merge_group, seg_size=seg_size
-            )
-            return m, n
-
-        m_df, n_df = do_merge()
+        m_df, n_df = seg_mod.merge_segments(
+            segs, norms, group=args.merge_group
+        )
         segs = ctx.run_stage(
-            f"segments{r}", fp, lambda m=m_df: m, partition_by=["bucket"]
+            f"segments{r}",
+            fp,
+            lambda m=m_df: m.repartition(args.buckets, F.col("bucket")),
+            partition_by=["bucket"],
         )
         norms = ctx.run_stage(f"norms{r}", fp, lambda n=n_df: n)
         seg_size *= args.merge_group

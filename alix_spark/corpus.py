@@ -34,19 +34,65 @@ class Corpus:
         id_col: str = "doc_id",
         text_col: str = "text",
         cache: bool = True,
+        analyzer: str = "simple",
     ):
+        """``analyzer``: 'simple' (JVM-side, source code / plain text) or
+        'french' (the full Alix chain via the Arrow kernel). Queries are
+        analyzed by the same chain — the reference's "same analyzer"
+        principle (``Alix.java:698``)."""
         self.docs = docs
         self.id_col = id_col
         self.text_col = text_col
         self._cache = cache
+        if analyzer not in ("simple", "french"):
+            raise ValueError(f"unknown analyzer {analyzer!r}")
+        self.analyzer = analyzer
 
     def _maybe_cache(self, df: DataFrame) -> DataFrame:
         return df.cache() if self._cache else df
 
     @cached_property
+    def token_table(self) -> DataFrame:
+        """French chain only: the full 4-channel token table incl. holes."""
+        from alix_spark.analysis.pipeline import analyze_documents
+
+        return self._maybe_cache(
+            analyze_documents(self.docs, self.id_col, self.text_col)
+        )
+
+    @cached_property
     def tokens(self) -> DataFrame:
-        """(doc_id, pos, term) — not cached: cheap to recompute, huge to pin."""
+        """(doc_id, pos, term) for the index builders (no holes)."""
+        if self.analyzer == "french":
+            from alix_spark.analysis.pipeline import fr_tokens_for_index
+
+            return fr_tokens_for_index(self.token_table)
         return simple.tokenize(self.docs, self.id_col, self.text_col)
+
+    def analyze_query_terms(
+        self, raw_terms: list[str], as_sequence: bool = False
+    ) -> list[str]:
+        """Run query words through the corpus analysis chain (T9).
+
+        ``as_sequence=True`` analyzes the words as ONE string so that
+        multi-word locutions fold to a single indexed term, exactly as
+        they did at index time ("same analyzer", ``Alix.java:698``;
+        SEARCH-mode locution folding ``FrAnalyzer.java:57-66``).
+        """
+        if self.analyzer == "french":
+            from alix_spark.analysis.french import analyze
+
+            if as_sequence:
+                return [
+                    t.indexed
+                    for t in analyze(" ".join(raw_terms))
+                    if t.indexed
+                ]
+            out = []
+            for w in raw_terms:
+                out.extend(t.indexed for t in analyze(w) if t.indexed)
+            return out
+        return raw_terms
 
     @cached_property
     def postings(self) -> DataFrame:
@@ -77,6 +123,14 @@ class Corpus:
     # ------------------------------------------------------------------ #
     def parse(self, q: str) -> parsermod.ParsedQuery:
         parsed = parsermod.parse(q)
+        if self.analyzer == "french":
+            parsed.must = self.analyze_query_terms(parsed.must)
+            parsed.must_not = self.analyze_query_terms(parsed.must_not)
+            # SHOULD words analyze as a sequence: adjacent words that form
+            # a locution fold to the single indexed term
+            parsed.should = self.analyze_query_terms(
+                parsed.should, as_sequence=True
+            )
         if parsed.wildcards:
             # expand prefixes against the vocabulary (reference:
             # WildcardQuery, Alix.java:731-734). Vocab filter is a tiny scan.

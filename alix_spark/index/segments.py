@@ -11,15 +11,20 @@ Design (Lucene-shaped, Spark-native — see SURVEY.md §4.3/§7):
   the salted repartition-by-term of the north rule, with the salt chosen
   to be the doc range so that segments stay directly concatenable.
 * Within a (segment, term): doc ids are delta-gap + varbyte encoded in
-  blocks of ``BLOCK`` docs, with per-block metadata (first/last doc, max
-  tf-weight) enabling block-max WAND skipping.
+  blocks of ``BLOCK`` docs with per-block metadata (first/last doc,
+  max_tf, min_dl). The block-max WAND impact bound is derived at query
+  time as ``idf · tf_w(max_tf, min_dl, avgdl)`` — a valid upper bound
+  because the BM25 tf-weight is increasing in tf and decreasing in dl.
+  Storing (max_tf, min_dl) instead of a precomputed weight keeps the
+  encoder free of any corpus-global statistic, which is what makes the
+  single-pass build possible.
 * **Norms**: one byte per doc per segment (Lucene's norm layout), the
   SmallFloat byte4 of the doc length.
 * **Merge**: segments with disjoint, ordered doc ranges merge by decode +
   concat + re-encode per term — associative, so a tree of pairwise merge
   rounds (mirroring Lucene's background merges) yields bit-identical
-  output to a single-pass build. Property-tested in
-  tests/test_segments.py.
+  output to a direct build at the coarser segmentation. Property-tested
+  in tests/test_segments_wand.py. No global stats are needed to merge.
 
 Schema of the postings-segment table (one row per term-block):
 
@@ -31,11 +36,12 @@ Schema of the postings-segment table (one row per term-block):
     doc_gaps: binary   -- varbyte(delta(doc_ids))
     tfs:    binary     -- varbyte(tfs)
     first_doc, last_doc: long
-    max_tf: int
-    block_max_w: double -- max_{p in block} tf_w(tf, dl_q) with corpus
-                           k1/b/avgdl: the block-max impact bound (x idf)
+    max_tf: int        -- query-time impact bound input
+    min_dl: long       -- query-time impact bound input (quantized len)
+    sum_tf: long       -- block tf total (forms table derives from this)
 
-Norms table: (seg_id, first_doc, n_docs, norm_bytes: binary).
+Norms table: (seg_id, first_doc, n_docs, sum_dl, norm_bytes: binary).
+``sum_dl`` lets query open compute corpus avgdl without a doc_lens scan.
 """
 
 from __future__ import annotations
@@ -46,7 +52,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
-    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -61,6 +66,10 @@ BLOCK = 128
 DEFAULT_SEG_SIZE = 8192
 DEFAULT_BUCKETS = 32
 
+# reserved pseudo-term for norm rows in the single-pass unioned output;
+# the tokenizers never emit an empty-string term into postings
+NORM_MARKER = ""
+
 SEGMENT_SCHEMA = StructType(
     [
         StructField("bucket", IntegerType()),
@@ -73,7 +82,8 @@ SEGMENT_SCHEMA = StructType(
         StructField("first_doc", LongType()),
         StructField("last_doc", LongType()),
         StructField("max_tf", IntegerType()),
-        StructField("block_max_w", DoubleType()),
+        StructField("min_dl", LongType()),
+        StructField("sum_tf", LongType()),
     ]
 )
 
@@ -82,15 +92,23 @@ NORMS_SCHEMA = StructType(
         StructField("seg_id", LongType()),
         StructField("first_doc", LongType()),
         StructField("n_docs", IntegerType()),
+        StructField("sum_dl", LongType()),
         StructField("norm_bytes", BinaryType()),
     ]
 )
 
 
-def tf_weight(tf: np.ndarray, dl_q: np.ndarray, avgdl: float) -> np.ndarray:
-    """Lucene-8 BM25 tf weight (no (k1+1) numerator), vectorized."""
-    tf = tf.astype(np.float64)
-    return tf / (tf + K1 * (1.0 - B + B * dl_q.astype(np.float64) / avgdl))
+def tf_weight(tf, dl_q, avgdl: float):
+    """Lucene-8 BM25 tf weight (no (k1+1) numerator) — works on numpy
+    arrays or python floats."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl_q, dtype=np.float64)
+    return tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def block_bound_w(max_tf, min_dl, avgdl: float) -> float:
+    """Query-time per-block tf-weight upper bound."""
+    return float(tf_weight(max_tf, min_dl, avgdl))
 
 
 def _encode_term_blocks(
@@ -100,14 +118,13 @@ def _encode_term_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dl_q: np.ndarray,
-    avgdl: float,
 ) -> list[tuple]:
     """One term's postings (sorted by doc) → block rows."""
     rows = []
     for b0 in range(0, doc_ids.size, BLOCK):
         d = doc_ids[b0 : b0 + BLOCK]
         t = tfs[b0 : b0 + BLOCK]
-        w = tf_weight(t, dl_q[b0 : b0 + BLOCK], avgdl)
+        dl = dl_q[b0 : b0 + BLOCK]
         rows.append(
             (
                 bucket,
@@ -120,7 +137,8 @@ def _encode_term_blocks(
                 int(d[0]),
                 int(d[-1]),
                 int(t.max()),
-                float(w.max()),
+                int(dl.min()),
+                int(t.sum()),
             )
         )
     return rows
@@ -129,22 +147,13 @@ def _encode_term_blocks(
 def build_segments(
     postings: DataFrame,
     doc_lens: DataFrame,
-    avgdl: float,
     seg_size: int = DEFAULT_SEG_SIZE,
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
-    """Uncompressed postings (term, doc_id, tf) → compressed segment rows.
-
-    Plan: attach seg_id, join quantized doc lengths, then one grouped-map
-    kernel per (seg_id, bucket) encodes every term of that bucket with
-    numpy. Granularity rationale:
-
-    * skew: group size ≈ (postings in segment) / n_buckets — bounded by
-      seg_size × avgdl / n_buckets no matter how hot any term is (the hot
-      term contributes ≤ seg_size postings to its bucket's group);
-    * overhead: per-group Spark/Arrow cost is paid per (seg, bucket), not
-      per (seg, term) — ~vocab/n_buckets terms amortize each group
-      (measured 5-10× build speedup vs per-term groups at sf0.1).
+    """Two-stage path: uncompressed postings (term, doc_id, tf) →
+    compressed segment rows. Grouped by (seg_id, bucket): group size ≈
+    (postings in segment)/n_buckets — bounded for any term skew; per-group
+    Spark/Arrow overhead amortized over ~vocab/n_buckets terms.
     """
     from alix_spark.search.bm25 import with_quantized_dl
 
@@ -153,7 +162,9 @@ def build_segments(
         postings.select("term", "doc_id", "tf")
         .join(dlq, "doc_id")
         .withColumn("seg_id", (F.col("doc_id") / seg_size).cast("long"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
     )
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -165,15 +176,13 @@ def build_segments(
         docs = pdf["doc_id"].to_numpy(np.uint64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dlq_arr = pdf["dl_q"].to_numpy(np.int64)
-        # contiguous runs per term (pdf sorted by term)
         change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(terms)]))
         for s, e in zip(starts, ends):
             rows.extend(
                 _encode_term_blocks(
-                    terms[s], bucket, seg_id, docs[s:e], tfs[s:e],
-                    dlq_arr[s:e], avgdl,
+                    terms[s], bucket, seg_id, docs[s:e], tfs[s:e], dlq_arr[s:e]
                 )
             )
         return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
@@ -181,22 +190,19 @@ def build_segments(
     return p.groupBy("seg_id", "bucket").applyInPandas(encode_group, SEGMENT_SCHEMA)
 
 
-def build_norms(
-    doc_lens: DataFrame, seg_size: int = DEFAULT_SEG_SIZE
-) -> DataFrame:
-    """doc_lens → per-segment norm-byte arrays (1 byte/doc, Lucene layout).
-
-    Missing docs inside a range (docs with no tokens) get norm byte 0.
-    """
+def build_norms(doc_lens: DataFrame, seg_size: int = DEFAULT_SEG_SIZE) -> DataFrame:
+    """doc_lens → per-segment norm-byte arrays (1 byte/doc, Lucene
+    layout). Docs with no tokens get norm byte 0."""
 
     def encode_seg(pdf: pd.DataFrame) -> pd.DataFrame:
         seg_id = int(pdf["seg_id"].iloc[0])
         first = seg_id * seg_size
+        dls = pdf["dl"].to_numpy(np.int64)
         offs = (pdf["doc_id"].to_numpy(np.int64) - first).astype(np.int64)
         arr = np.zeros(int(offs.max()) + 1, dtype=np.uint8)
-        arr[offs] = codec.int_to_byte4(pdf["dl"].to_numpy(np.int64))
+        arr[offs] = codec.int_to_byte4(dls)
         return pd.DataFrame(
-            [(seg_id, first, int(arr.size), arr.tobytes())],
+            [(seg_id, first, int(arr.size), int(dls.sum()), arr.tobytes())],
             columns=[f.name for f in NORMS_SCHEMA.fields],
         )
 
@@ -207,68 +213,187 @@ def build_norms(
     )
 
 
-def build_segments_direct(
+def _encode_segment_tokens(
+    seg_id: int,
+    tok_pdf: pd.DataFrame,
+    n_buckets: int,
+    seg_size: int,
+    term_bucket_fn,
+) -> tuple[list[tuple], tuple]:
+    """Shared kernel: one segment's (doc_id, term) rows → (block rows,
+    norm row). Computes per-doc lengths locally (a doc lives in exactly
+    one segment, so the group sees all its tokens).
+
+    Pure numpy (factorize + lexsort + run-length) instead of pandas
+    groupby: ~2× less memory traffic, which matters both for absolute
+    throughput and for multi-core scaling (the kernel is bandwidth-bound
+    before it is CPU-bound).
+    """
+    first = seg_id * seg_size
+    codes, uniques = pd.factorize(tok_pdf["term"].to_numpy(), sort=True)
+    docs_raw = tok_pdf["doc_id"].to_numpy(np.int64)
+
+    # per-doc exact lengths -> norm bytes -> quantized lengths
+    dl_counts = np.bincount(docs_raw - first)
+    present = dl_counts > 0
+    arr = np.zeros(dl_counts.size, dtype=np.uint8)
+    arr[present] = codec.int_to_byte4(dl_counts[present])
+    dl_all = codec.byte4_to_int(arr)
+    norm_row = (
+        seg_id,
+        first,
+        int(arr.size),
+        int(dl_counts.sum()),
+        arr.tobytes(),
+    )
+
+    # (term, doc) run-length counts over the lexsorted pairs
+    order = np.lexsort((docs_raw, codes))
+    c = codes[order]
+    d = docs_raw[order]
+    if c.size == 0:
+        return [], norm_row
+    is_new = np.empty(c.size, dtype=bool)
+    is_new[0] = True
+    is_new[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+    starts_rl = np.flatnonzero(is_new)
+    tfs = np.diff(np.append(starts_rl, c.size)).astype(np.int64)
+    gc = c[starts_rl]
+    gd = d[starts_rl].astype(np.uint64)
+    dl_q = dl_all[(gd.astype(np.int64) - first)]
+
+    change = np.flatnonzero(gc[1:] != gc[:-1]) + 1
+    t_starts = np.concatenate(([0], change))
+    t_ends = np.concatenate((change, [gc.size]))
+    rows = []
+    for s, e in zip(t_starts, t_ends):
+        term = uniques[gc[s]]
+        rows.extend(
+            _encode_term_blocks(
+                term,
+                term_bucket_fn(term, n_buckets),
+                seg_id,
+                gd[s:e],
+                tfs[s:e],
+                dl_q[s:e],
+            )
+        )
+    return rows, norm_row
+
+
+def build_single_pass(
     tokens: DataFrame,
-    norms: DataFrame,
-    avgdl: float,
     seg_size: int = DEFAULT_SEG_SIZE,
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
-    """Single-shuffle segment build: token stream → compressed blocks.
+    """ONE-shuffle index build: the token stream grouped by segment; each
+    kernel computes tf + doc lengths + norms locally and emits block rows
+    PLUS one norm marker row (term == NORM_MARKER, norm bytes in
+    ``doc_gaps``, sum_dl in ``min_dl``, n_docs in ``n``).
 
-    The two-stage path (``build_postings`` then ``build_segments``)
-    shuffles the corpus twice — once by (term, doc) and once by
-    (seg, bucket). This path shuffles ONCE by seg_id (doc range), then
-    one kernel per segment computes tf per (term, doc) with a pandas
-    groupby, assigns buckets with the Python XXH64 (bit-identical to
-    Spark's ``xxhash64`` — tests/test_xxhash.py) and encodes blocks.
-    Output is row-identical to the two-stage path (property-tested).
-
-    Group memory = seg_size × avgdl token rows; pick seg_size to bound it.
-    Doc-range grouping keeps Zipf-head terms spread exactly as before.
+    Split the output with :func:`split_single_pass`; derive the forms
+    table with :func:`forms_from_segments`. No corpus-global statistic is
+    read or written by the kernel — this is the maximally-scalable build
+    (everything after the one shuffle is embarrassingly parallel).
     """
     from alix_spark.index.xxhash import term_bucket
 
-    t = tokens.select(
-        "doc_id", "term"
-    ).withColumn("seg_id", (F.col("doc_id") / seg_size).cast("long"))
+    t = tokens.select("doc_id", "term").withColumn(
+        "seg_id", (F.col("doc_id") / seg_size).cast("long")
+    )
+
+    def encode_seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [f.name for f in SEGMENT_SCHEMA.fields]
+        if pdf.empty:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        seg_id = int(pdf["seg_id"].iloc[0])
+        rows, norm = _encode_segment_tokens(
+            seg_id, pdf, n_buckets, seg_size, term_bucket
+        )
+        seg_id_, first, n_docs, sum_dl, norm_bytes = norm
+        rows.append(
+            (
+                -1,  # norm rows live in bucket -1 (own partition dir)
+                seg_id_,
+                NORM_MARKER,
+                0,
+                n_docs,
+                norm_bytes,
+                b"",
+                first,
+                first + n_docs - 1,
+                0,
+                sum_dl,
+                0,
+            )
+        )
+        return pd.DataFrame(rows, columns=cols)
+
+    return t.groupBy("seg_id").applyInPandas(encode_seg, SEGMENT_SCHEMA)
+
+
+def split_single_pass(unioned: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Single-pass output → (segments, norms) with the standard schemas."""
+    segments = unioned.filter(F.col("term") != NORM_MARKER)
+    norms = unioned.filter(F.col("term") == NORM_MARKER).select(
+        F.col("seg_id"),
+        F.col("first_doc"),
+        F.col("n").alias("n_docs"),
+        F.col("min_dl").alias("sum_dl"),
+        F.col("doc_gaps").alias("norm_bytes"),
+    )
+    return segments, norms
+
+
+def corpus_stats_from_norms(norms: DataFrame) -> tuple[int, float]:
+    """(n_docs_with_tokens, avgdl) from norm metadata — no corpus scan.
+
+    One collect over the (few) norm rows; docs are counted by nonzero
+    norm bytes (the array covers the doc-id range, zero = no tokens).
+    At 10^12 docs this is still only corpus/seg_size rows — aggregate
+    them distributively if they ever outgrow a collect.
+    """
+    total_docs = 0
+    total_dl = 0
+    for r in norms.select("norm_bytes", "sum_dl").collect():
+        arr = np.frombuffer(r["norm_bytes"], dtype=np.uint8)
+        total_docs += int((arr != 0).sum())
+        total_dl += int(r["sum_dl"])
+    return total_docs, (total_dl / total_docs if total_docs else 0.0)
+
+
+def forms_from_segments(segments: DataFrame) -> DataFrame:
+    """Vocabulary stats straight from block metadata — no second pass
+    over the corpus: occs = Σ sum_tf, docs = Σ n per term."""
+    return segments.groupBy("term").agg(
+        F.sum("sum_tf").cast("long").alias("occs"),
+        F.sum("n").cast("long").alias("docs"),
+    )
+
+
+def build_segments_direct(
+    tokens: DataFrame,
+    norms: DataFrame,
+    seg_size: int = DEFAULT_SEG_SIZE,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Single-shuffle build against precomputed norms (kept for
+    compatibility; `build_single_pass` subsumes it). Row-identical to
+    the two-stage path (property-tested)."""
+    from alix_spark.index.xxhash import term_bucket
+
+    t = tokens.select("doc_id", "term").withColumn(
+        "seg_id", (F.col("doc_id") / seg_size).cast("long")
+    )
 
     def encode_seg(key, tok_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
         cols = [f.name for f in SEGMENT_SCHEMA.fields]
         if tok_pdf.empty or norm_pdf.empty:
             return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
         (seg_id,) = key
-        seg_id = int(seg_id)
-        first = int(norm_pdf["first_doc"].iloc[0])
-        dl_all = codec.byte4_to_int(
-            np.frombuffer(norm_pdf["norm_bytes"].iloc[0], dtype=np.uint8)
+        rows, _ = _encode_segment_tokens(
+            int(seg_id), tok_pdf, n_buckets, seg_size, term_bucket
         )
-        tf = (
-            tok_pdf.groupby(["term", "doc_id"], sort=True)
-            .size()
-            .reset_index(name="tf")
-        )
-        terms = tf["term"].to_numpy()
-        docs = tf["doc_id"].to_numpy(np.uint64)
-        tfs = tf["tf"].to_numpy(np.int64)
-        dl_q = dl_all[(docs.astype(np.int64) - first)]
-        change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(terms)]))
-        rows = []
-        for s, e in zip(starts, ends):
-            term = terms[s]
-            rows.extend(
-                _encode_term_blocks(
-                    term,
-                    term_bucket(term, n_buckets),
-                    seg_id,
-                    docs[s:e],
-                    tfs[s:e],
-                    dl_q[s:e],
-                    avgdl,
-                )
-            )
         return pd.DataFrame(rows, columns=cols)
 
     return (
@@ -298,32 +423,27 @@ def decode_blocks(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
 def merge_segments(
     segments: DataFrame,
     norms: DataFrame,
-    avgdl: float,
     group: int = 2,
-    seg_size: int = DEFAULT_SEG_SIZE,
 ) -> DataFrame:
-    """One tree-merge round: coalesce ``group`` adjacent segments into one.
+    """One tree-merge round: coalesce ``group`` adjacent segments.
 
-    Mirrors Lucene's merge policy (adjacent-by-doc-order segments merge so
-    doc ids stay sorted). Each (new_seg, term) group decodes its source
-    blocks, concatenates (ranges are disjoint and ordered), and re-encodes
-    with fresh per-block metadata — identical bytes to a direct build at
-    the coarser segmentation. Apply repeatedly for a full merge tree.
+    Needs NO global statistics: per-block min_dl/max_tf/sum_tf merge by
+    re-encode over the concatenated postings; quantized lengths come from
+    the norm bytes (cogrouped per new segment). Returns (merged_segments,
+    merged_norms).
     """
     new_seg = (F.col("seg_id") / group).cast("long")
     src = segments.withColumn("_new_seg", new_seg)
-
-    # norm arrays are needed to recompute block_max_w; cogroup by new seg
     n_src = norms.withColumn("_new_seg", new_seg)
 
     def merge_group(key, pdfs: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [f.name for f in SEGMENT_SCHEMA.fields]
+        if pdfs.empty or npdf.empty:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
         (new_seg_id,) = key
-        # rebuild the norm lookup for the merged doc range
         first = int(npdf["first_doc"].min())
         norm_parts = npdf.sort_values("first_doc")
-        total = int(
-            (norm_parts["first_doc"] + norm_parts["n_docs"]).max() - first
-        )
+        total = int((norm_parts["first_doc"] + norm_parts["n_docs"]).max() - first)
         norm_arr = np.zeros(total, dtype=np.uint8)
         for r in norm_parts.itertuples(index=False):
             off = int(r.first_doc) - first
@@ -345,15 +465,12 @@ def merge_segments(
             dl_q = dl_all[(doc_ids.astype(np.int64) - first)]
             out.extend(
                 _encode_term_blocks(
-                    term, int(bucket), int(new_seg_id), doc_ids, tfs, dl_q, avgdl
+                    term, int(bucket), int(new_seg_id), doc_ids, tfs, dl_q
                 )
             )
-        cols = [f.name for f in SEGMENT_SCHEMA.fields]
         return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
             {c: pd.Series(dtype=object) for c in cols}
         )
-
-    merged_norms_schema = NORMS_SCHEMA
 
     def merge_norms(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["_new_seg"].iloc[0])
@@ -365,8 +482,8 @@ def merge_segments(
             off = int(r.first_doc) - first
             arr[off : off + r.n_docs] = np.frombuffer(r.norm_bytes, dtype=np.uint8)
         return pd.DataFrame(
-            [(seg, first, total, arr.tobytes())],
-            columns=[f.name for f in merged_norms_schema.fields],
+            [(seg, first, total, int(parts["sum_dl"].sum()), arr.tobytes())],
+            columns=[f.name for f in NORMS_SCHEMA.fields],
         )
 
     merged = (
@@ -374,7 +491,5 @@ def merge_segments(
         .cogroup(n_src.groupby("_new_seg"))
         .applyInPandas(merge_group, SEGMENT_SCHEMA)
     )
-    new_norms = n_src.groupBy("_new_seg").applyInPandas(
-        merge_norms, merged_norms_schema
-    )
+    new_norms = n_src.groupBy("_new_seg").applyInPandas(merge_norms, NORMS_SCHEMA)
     return merged, new_norms

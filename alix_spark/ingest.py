@@ -41,6 +41,13 @@ def scalable_row_number(
     broadcast cumulative offsets, add the partition-local row number.
     Scales with the data; the only driver-side state is one count per
     partition. (Used for docId assignment and freq-ordered formIds.)
+
+    CHECKPOINT THE RESULT before using it from multiple downstream jobs:
+    ``repartitionByRange`` samples input to pick boundaries, and two
+    independent evaluations of the same plan may draw different
+    boundaries — ids stay a valid dense rank each time, but per-row
+    assignments can differ between evaluations. ``build_index.py``
+    persists the docs stage to parquet for exactly this reason.
     """
     n_part = max(
         2,

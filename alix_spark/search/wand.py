@@ -58,13 +58,31 @@ class _TermCursor:
     """Decoded block-at-a-time cursor over one term's blocks in a segment."""
 
     __slots__ = (
-        "idf", "blocks", "bi", "pi", "doc_ids", "tfs", "exhausted", "weight",
+        "idf", "blocks", "bi", "pi", "doc_ids", "tfs", "exhausted",
+        "weight", "avgdl", "_bounds", "_suffix_max",
     )
 
-    def __init__(self, idf: float, blocks: pd.DataFrame, weight: float = 1.0):
+    def __init__(
+        self,
+        idf: float,
+        blocks: pd.DataFrame,
+        weight: float = 1.0,
+        avgdl: float = 1.0,
+    ):
         self.idf = idf
         self.weight = weight
+        self.avgdl = avgdl
         self.blocks = blocks.sort_values("block_id").reset_index(drop=True)
+        # per-block impact bound derived from (max_tf, min_dl): tf_w is
+        # increasing in tf, decreasing in dl, so this dominates every
+        # posting in the block
+        from alix_spark.index.segments import tf_weight
+
+        mt = self.blocks["max_tf"].to_numpy()
+        md = self.blocks["min_dl"].to_numpy()
+        self._bounds = tf_weight(mt, md, avgdl)
+        # suffix maxima: bound over ALL remaining blocks in O(1)
+        self._suffix_max = np.maximum.accumulate(self._bounds[::-1])[::-1]
         self.bi = -1
         self.exhausted = False
         self._next_block()
@@ -92,20 +110,16 @@ class _TermCursor:
     def block_max_contrib(self) -> float:
         if self.exhausted:
             return 0.0
-        return (
-            self.weight
-            * self.idf
-            * float(self.blocks.iloc[self.bi]["block_max_w"])
-            * _BOUND_SLACK
-        )
+        return self.weight * self.idf * float(self._bounds[self.bi]) * _BOUND_SLACK
 
     @property
     def max_contrib(self) -> float:
         """Upper bound over ALL remaining blocks (term-level WAND bound)."""
         if self.exhausted:
             return 0.0
-        rest = self.blocks.iloc[self.bi:]
-        return self.weight * self.idf * float(rest["block_max_w"].max()) * _BOUND_SLACK
+        return (
+            self.weight * self.idf * float(self._suffix_max[self.bi]) * _BOUND_SLACK
+        )
 
     def advance(self, target: int):
         """Move to the first posting with doc >= target (block skipping)."""
@@ -145,7 +159,7 @@ def wand_segment_topk(
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one segment → local top-k [(doc, score)]."""
     cursors = [
-        _TermCursor(idfs[t], blocks, weights.get(t, 1.0))
+        _TermCursor(idfs[t], blocks, weights.get(t, 1.0), avgdl)
         for t, blocks in term_blocks.items()
         if not blocks.empty and t in idfs
     ]

@@ -75,6 +75,43 @@ def main() -> None:
     timed("index_build", build_index)
     docs_per_sec = round(n_docs / timings["index_build"], 1)
 
+    # compressed-segment build (single-shuffle direct path) + WAND batch
+    from alix_spark.index import segments as seg_mod
+    from alix_spark.search import wand as wand_mod
+    from alix_spark.search.bm25 import corpus_stats as _cs
+
+    n_c, avgdl_c = _cs(c.doc_lens)
+    norms = seg_mod.build_norms(c.doc_lens, 1024).cache()
+
+    def build_segments():
+        seg_mod.build_segments_direct(
+            c.tokens, norms, seg_size=1024
+        ).repartition(32, F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{tmp}/segments")
+
+    timed("segment_build", build_segments)
+    segs_r = spark.read.parquet(f"{tmp}/segments")
+
+    wand_queries = {
+        0: ["fast", "join", "merge"], 1: ["scan", "column"],
+        2: ["window", "hash", "agg"], 3: ["slow", "batch"],
+        4: ["query", "row", "data"], 5: ["customer", "line"],
+        6: ["spark", "group"], 7: ["vector", "hash"],
+        8: ["key", "order", "sort"], 9: ["part", "small", "the"],
+    }
+    all_wand_terms = sorted({t for ts in wand_queries.values() for t in ts})
+    wand_dfs = {
+        r["term"]: int(r["docs"])
+        for r in c.forms.filter(F.col("term").isin(all_wand_terms)).collect()
+    }
+    timed(
+        "wand_batch_10q",
+        lambda: wand_mod.wand_topk_batch(
+            segs_r, norms, wand_queries, wand_dfs, n_c, avgdl_c, k=10
+        ).collect(),
+    )
+
     # reload the persisted index (query from disk, as a real engine would)
     postings = spark.read.parquet(f"{tmp}/postings").cache()
     doc_lens = spark.read.parquet(f"{tmp}/doc_lens").cache()

@@ -31,7 +31,7 @@ def ctx(spark):
     c = Corpus(docs)
     n, avgdl = bm25_mod.corpus_stats(c.doc_lens)
     segs = seg_mod.build_segments(
-        c.postings, c.doc_lens, avgdl, seg_size=SEG_SIZE
+        c.postings, c.doc_lens, seg_size=SEG_SIZE
     ).cache()
     norms = seg_mod.build_norms(c.doc_lens, seg_size=SEG_SIZE).cache()
     dfs = {
@@ -75,15 +75,16 @@ def test_segments_roundtrip(ctx):
 def test_merge_tree_equals_direct_build(ctx):
     """Two rounds of pairwise merges == building at 4x the segment size."""
     c, segs, norms, n, avgdl, _ = ctx
-    m1, n1 = seg_mod.merge_segments(segs, norms, avgdl, group=2, seg_size=SEG_SIZE)
-    m2, n2 = seg_mod.merge_segments(m1, n1, avgdl, group=2, seg_size=SEG_SIZE * 2)
+    m1, n1 = seg_mod.merge_segments(segs, norms, group=2)
+    m2, n2 = seg_mod.merge_segments(m1, n1, group=2)
     direct = seg_mod.build_segments(
-        c.postings, c.doc_lens, avgdl, seg_size=SEG_SIZE * 4
+        c.postings, c.doc_lens, seg_size=SEG_SIZE * 4
     )
     merged_pdf = m2.toPandas().sort_values(["term", "seg_id", "block_id"])
     direct_pdf = direct.toPandas().sort_values(["term", "seg_id", "block_id"])
     assert len(merged_pdf) == len(direct_pdf)
-    for col in ["term", "seg_id", "block_id", "n", "first_doc", "last_doc", "max_tf"]:
+    for col in ["term", "seg_id", "block_id", "n", "first_doc", "last_doc",
+                "max_tf", "min_dl", "sum_tf"]:
         assert merged_pdf[col].tolist() == direct_pdf[col].tolist(), col
     # encoded bytes identical — merge is lossless re-encoding
     assert [bytes(x) for x in merged_pdf["doc_gaps"]] == [
@@ -92,9 +93,6 @@ def test_merge_tree_equals_direct_build(ctx):
     assert [bytes(x) for x in merged_pdf["tfs"]] == [
         bytes(x) for x in direct_pdf["tfs"]
     ]
-    assert np.allclose(
-        merged_pdf["block_max_w"].to_numpy(), direct_pdf["block_max_w"].to_numpy()
-    )
 
 
 @pytest.mark.parametrize(

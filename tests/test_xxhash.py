@@ -36,17 +36,47 @@ def test_direct_build_equals_two_stage(spark):
     n, avgdl = corpus_stats(c.doc_lens)
     norms = seg_mod.build_norms(c.doc_lens, seg_size=128).cache()
     two_stage = seg_mod.build_segments(
-        c.postings, c.doc_lens, avgdl, seg_size=128
+        c.postings, c.doc_lens, seg_size=128
     ).toPandas()
     direct = seg_mod.build_segments_direct(
-        c.tokens, norms, avgdl, seg_size=128
+        c.tokens, norms, seg_size=128
     ).toPandas()
+    single, sp_norms = seg_mod.split_single_pass(
+        seg_mod.build_single_pass(c.tokens, seg_size=128)
+    )
+    single = single.toPandas()
     key = ["term", "seg_id", "block_id"]
     a = two_stage.sort_values(key).reset_index(drop=True)
-    b = direct.sort_values(key).reset_index(drop=True)
-    assert len(a) == len(b)
-    for col in ["bucket", "term", "seg_id", "block_id", "n", "first_doc",
-                "last_doc", "max_tf"]:
-        assert a[col].tolist() == b[col].tolist(), col
-    assert [bytes(x) for x in a["doc_gaps"]] == [bytes(x) for x in b["doc_gaps"]]
-    assert [bytes(x) for x in a["tfs"]] == [bytes(x) for x in b["tfs"]]
+    cols = ["bucket", "term", "seg_id", "block_id", "n", "first_doc",
+            "last_doc", "max_tf", "min_dl", "sum_tf"]
+    for variant in (direct, single):
+        b = variant.sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in cols:
+            assert a[col].tolist() == b[col].tolist(), col
+        assert [bytes(x) for x in a["doc_gaps"]] == [
+            bytes(x) for x in b["doc_gaps"]
+        ]
+        assert [bytes(x) for x in a["tfs"]] == [bytes(x) for x in b["tfs"]]
+    # single-pass norm rows == build_norms output
+    nb = {
+        r["seg_id"]: (r["first_doc"], r["n_docs"], r["sum_dl"], bytes(r["norm_bytes"]))
+        for r in norms.collect()
+    }
+    ns = {
+        r["seg_id"]: (r["first_doc"], r["n_docs"], r["sum_dl"], bytes(r["norm_bytes"]))
+        for r in sp_norms.collect()
+    }
+    assert nb == ns
+    # forms derived from segment metadata == forms from postings
+    derived = {
+        (r["term"], r["occs"], r["docs"])
+        for r in seg_mod.forms_from_segments(
+            seg_mod.build_segments(c.postings, c.doc_lens, seg_size=128)
+        ).collect()
+    }
+    expected = {
+        (r["term"], r["occs"], r["docs"])
+        for r in c.forms.select("term", "occs", "docs").collect()
+    }
+    assert derived == expected
