@@ -318,6 +318,19 @@ def q_word_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(50)
 
 
+def q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2+ — exact-phrase search served from the compressed positional
+    segments (posVb): docs containing "part filter" adjacently."""
+    from alix_spark.index import segments as seg_mod
+    from alix_spark.search.phrase import phrase_search
+
+    c = _corpus(spark, sf_dir)
+    segs, _ = seg_mod.split_single_pass(
+        seg_mod.build_single_pass(c.tokens, seg_size=1024)
+    )
+    return phrase_search(segs, ["part", "filter"]).orderBy("doc_id")
+
+
 def q_rank_theme(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 — doc ranking under the 'theme' similarity (tf/docLen)."""
     from alix_spark.search.similarity import rank_docs
@@ -414,16 +427,17 @@ def q_bm25_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 — multi-word expression mining over rails; rows-only."""
-    from alix_spark.cooc.rails import build_rails, expressions
+    """C4 — multi-word expression mining over rails, rendered as display
+    strings (distributed forms join, no driver-side vocabulary)."""
+    from alix_spark.cooc.rails import build_rails, expressions, expressions_display
 
     c = _corpus(spark, sf_dir)
     rails = build_rails(c.tokens, c.forms)
     stops = set()  # synthetic corpus has no stopword list
     exprs = expressions(rails, stops, min_len=2, max_len=3)
     return (
-        exprs.withColumn("expression", F.col("expression").cast("array<long>"))
-        .orderBy(F.desc("n"), F.asc(F.col("expression").cast("string")))
+        expressions_display(exprs, c.forms)
+        .orderBy(F.desc("n"), F.asc("expression"))
         .limit(50)
     )
 
@@ -503,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooc_mi_g": q_cooc_mi_g,
         "cooc_window_rails": q_cooc_window_rails,
         "word_network": q_word_network,
+        "phrase": q_phrase,
         "rank_theme": q_rank_theme,
         "rank_g": q_rank_g,
         "more_like_this": q_more_like_this,
@@ -973,8 +988,32 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY t.doc_id
               ORDER BY score DESC, t.doc_id ASC LIMIT 10)
         """,
+        "phrase": f"""
+            WITH {TOK_CTE}
+            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS freq
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'part' AND b.term = 'filter'
+            GROUP BY a.doc_id
+            ORDER BY a.doc_id
+        """,
+        "expressions": f"""
+            WITH {TOK_CTE},
+            e2 AS (SELECT a.term || ' ' || b.term AS expression
+                   FROM tok a JOIN tok b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            e3 AS (SELECT a.term || ' ' || b.term || ' ' || c.term AS expression
+                   FROM tok a
+                   JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+            allx AS (SELECT expression FROM e2
+                     UNION ALL SELECT expression FROM e3)
+            SELECT expression, CAST(count(*) AS BIGINT) AS n
+            FROM allx GROUP BY expression
+            ORDER BY n DESC, expression ASC LIMIT 50
+        """,
         # minhash_pairs / simhash_dups / lsh_knn / kwic / fr_analysis /
-        # bm25_lucene / expressions / language_id / fingerprint:
+        # bm25_lucene / language_id / fingerprint:
         # hash-based or non-SQL-expressible — driver records rows-only
         # checks; their semantics are pinned by pytest (Lucene goldens,
         # French-chain goldens, cross-engine equality tests).

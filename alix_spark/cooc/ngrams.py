@@ -37,11 +37,20 @@ def word_network(tokens: DataFrame, width: int = 5) -> tuple[DataFrame, DataFram
     window (w1 < w2 to canonicalize).
     """
     nodes = tokens.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Positional equi-join, NOT a doc_id-only self-join: the right side is
+    # replicated once per window offset delta ∈ [1, width-1] with its
+    # position rebased to the left partner's, so the join key is
+    # (doc_id, pos) and the per-doc intermediate is O(L·width) — a
+    # 100k-token doc produces 100k·(width-1) rows, never L².
     t1 = tokens.select("doc_id", F.col("pos").alias("pa"), F.col("term").alias("ta"))
-    t2 = tokens.select("doc_id", F.col("pos").alias("pb"), F.col("term").alias("tb"))
+    t2 = (
+        tokens.select("doc_id", F.col("pos").alias("pb"), F.col("term").alias("tb"))
+        .withColumn("_d", F.explode(F.sequence(F.lit(1), F.lit(width - 1))))
+        .withColumn("pa", F.col("pb") - F.col("_d"))
+        .select("doc_id", "pa", "tb")
+    )
     edges = (
-        t1.join(t2, "doc_id")
-        .filter((F.col("pb") > F.col("pa")) & (F.col("pb") <= F.col("pa") + width - 1))
+        t1.join(t2, ["doc_id", "pa"])
         .select(
             F.least("ta", "tb").alias("w1"),
             F.greatest("ta", "tb").alias("w2"),

@@ -164,3 +164,26 @@ def expressions(
     return partial.groupBy("expression").agg(
         F.sum("n").cast("long").alias("n")
     )
+
+
+def expressions_display(exprs: DataFrame, forms: DataFrame) -> DataFrame:
+    """Render mined expressions as display strings → (expression: string, n).
+
+    Distributed: posexplode the formId array, equi-join the forms table
+    (vocabulary-sized — AQE broadcasts it), regroup on the original array
+    key and reassemble in position order. No driver-side vocabulary map,
+    so it holds at 100 TB vocabularies.
+    """
+    x = forms.select("form_id", "term")
+    exploded = exprs.select(
+        "expression", "n", F.posexplode("expression").alias("pos", "form_id")
+    ).join(x, "form_id")
+    return exploded.groupBy("expression", "n").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s.term,
+            ),
+            " ",
+        ).alias("expr_str")
+    ).select(F.col("expr_str").alias("expression"), "n")

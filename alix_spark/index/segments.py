@@ -39,6 +39,16 @@ Schema of the postings-segment table (one row per term-block):
     max_tf: int        -- query-time impact bound input
     min_dl: long       -- query-time impact bound input (quantized len)
     sum_tf: long       -- block tf total (forms table derives from this)
+    positions: binary  -- varbyte(per-doc delta(positions)), tf values per
+                          posting; b"" when built without positions
+
+Positions (the reference's DOCS_AND_FREQS_AND_POSITIONS,
+``/root/reference/java/alix/lucene/Alix.java:154-165``): each posting's
+position list is delta-encoded *per document* (first position absolute,
+then gaps), all lists of a block concatenated and varbyte'd together; the
+block's ``tfs`` array gives the per-doc list lengths. Per-doc
+self-containment means merged segments concatenate position streams
+without re-encoding deltas.
 
 Norms table: (seg_id, first_doc, n_docs, sum_dl, norm_bytes: binary).
 ``sum_dl`` lets query open compute corpus avgdl without a doc_lens scan.
@@ -84,6 +94,7 @@ SEGMENT_SCHEMA = StructType(
         StructField("max_tf", IntegerType()),
         StructField("min_dl", LongType()),
         StructField("sum_tf", LongType()),
+        StructField("positions", BinaryType()),
     ]
 )
 
@@ -118,13 +129,28 @@ def _encode_term_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dl_q: np.ndarray,
+    pos_deltas: np.ndarray | None = None,
 ) -> list[tuple]:
-    """One term's postings (sorted by doc) → block rows."""
+    """One term's postings (sorted by doc) → block rows.
+
+    ``pos_deltas``: occurrence-aligned per-doc delta-encoded positions
+    (length == tfs.sum()); None builds a positions-free segment.
+    """
     rows = []
+    occ_bounds = None
+    if pos_deltas is not None:
+        occ_bounds = np.concatenate(
+            ([0], np.cumsum(np.asarray(tfs, dtype=np.int64)))
+        ).astype(np.int64)
     for b0 in range(0, doc_ids.size, BLOCK):
         d = doc_ids[b0 : b0 + BLOCK]
         t = tfs[b0 : b0 + BLOCK]
         dl = dl_q[b0 : b0 + BLOCK]
+        if pos_deltas is None:
+            pos_buf = b""
+        else:
+            lo, hi = occ_bounds[b0], occ_bounds[min(b0 + BLOCK, doc_ids.size)]
+            pos_buf = codec.varbyte_encode(pos_deltas[lo:hi])
         rows.append(
             (
                 bucket,
@@ -139,6 +165,7 @@ def _encode_term_blocks(
                 int(t.max()),
                 int(dl.min()),
                 int(t.sum()),
+                pos_buf,
             )
         )
     return rows
@@ -232,6 +259,8 @@ def _encode_segment_tokens(
     first = seg_id * seg_size
     codes, uniques = pd.factorize(tok_pdf["term"].to_numpy(), sort=True)
     docs_raw = tok_pdf["doc_id"].to_numpy(np.int64)
+    has_pos = "pos" in tok_pdf.columns
+    pos_raw = tok_pdf["pos"].to_numpy(np.int64) if has_pos else None
 
     # per-doc exact lengths -> norm bytes -> quantized lengths
     dl_counts = np.bincount(docs_raw - first)
@@ -247,8 +276,13 @@ def _encode_segment_tokens(
         arr.tobytes(),
     )
 
-    # (term, doc) run-length counts over the lexsorted pairs
-    order = np.lexsort((docs_raw, codes))
+    # (term, doc) run-length counts over the lexsorted triples; positions
+    # sort last so each run's occurrences come out position-ordered
+    order = (
+        np.lexsort((pos_raw, docs_raw, codes))
+        if has_pos
+        else np.lexsort((docs_raw, codes))
+    )
     c = codes[order]
     d = docs_raw[order]
     if c.size == 0:
@@ -261,6 +295,19 @@ def _encode_segment_tokens(
     gc = c[starts_rl]
     gd = d[starts_rl].astype(np.uint64)
     dl_q = dl_all[(gd.astype(np.int64) - first)]
+
+    pos_deltas = None
+    occ_bounds = None
+    if has_pos:
+        # per-run delta encoding: first position absolute, then gaps —
+        # one vectorized diff with the run starts reset to absolutes
+        p = pos_raw[order].astype(np.int64)
+        deltas = np.empty_like(p)
+        deltas[0] = p[0]
+        deltas[1:] = p[1:] - p[:-1]
+        deltas[starts_rl] = p[starts_rl]
+        pos_deltas = deltas.astype(np.uint64)
+        occ_bounds = np.concatenate(([0], np.cumsum(tfs)))
 
     change = np.flatnonzero(gc[1:] != gc[:-1]) + 1
     t_starts = np.concatenate(([0], change))
@@ -276,6 +323,9 @@ def _encode_segment_tokens(
                 gd[s:e],
                 tfs[s:e],
                 dl_q[s:e],
+                None
+                if pos_deltas is None
+                else pos_deltas[occ_bounds[s] : occ_bounds[e]],
             )
         )
     return rows, norm_row
@@ -298,7 +348,10 @@ def build_single_pass(
     """
     from alix_spark.index.xxhash import term_bucket
 
-    t = tokens.select("doc_id", "term").withColumn(
+    cols_in = ["doc_id", "term"] + (
+        ["pos"] if "pos" in tokens.columns else []
+    )
+    t = tokens.select(*cols_in).withColumn(
         "seg_id", (F.col("doc_id") / seg_size).cast("long")
     )
 
@@ -325,6 +378,7 @@ def build_single_pass(
                 0,
                 sum_dl,
                 0,
+                b"",
             )
         )
         return pd.DataFrame(rows, columns=cols)
@@ -382,7 +436,10 @@ def build_segments_direct(
     the two-stage path (property-tested)."""
     from alix_spark.index.xxhash import term_bucket
 
-    t = tokens.select("doc_id", "term").withColumn(
+    cols_in = ["doc_id", "term"] + (
+        ["pos"] if "pos" in tokens.columns else []
+    )
+    t = tokens.select(*cols_in).withColumn(
         "seg_id", (F.col("doc_id") / seg_size).cast("long")
     )
 
@@ -410,14 +467,51 @@ def build_segments_direct(
 
 def decode_blocks(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Block rows of ONE (seg, term) — sorted by block_id — → (doc_ids, tfs)."""
+    ids, tfs, _ = decode_blocks_pos(rows)
+    return ids, tfs
+
+
+def decode_blocks_pos(
+    rows: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Like :func:`decode_blocks` but also returns the occurrence-aligned
+    per-doc position deltas (None if the segment was built without
+    positions)."""
     ids = []
     tfs = []
+    pos = []
+    has_pos = True
     for r in rows.sort_values("block_id").itertuples(index=False):
         ids.append(codec.delta_decode(codec.varbyte_decode(r.doc_gaps, r.n)))
-        tfs.append(codec.varbyte_decode(r.tfs, r.n))
+        t = codec.varbyte_decode(r.tfs, r.n)
+        tfs.append(t)
+        buf = getattr(r, "positions", b"") or b""
+        if len(buf) == 0 and int(t.sum()) > 0:
+            has_pos = False
+        elif has_pos:
+            pos.append(codec.varbyte_decode(bytes(buf), int(t.sum())))
     if not ids:
-        return np.array([], dtype=np.uint64), np.array([], dtype=np.uint64)
-    return np.concatenate(ids), np.concatenate(tfs)
+        empty = np.array([], dtype=np.uint64)
+        return empty, empty.copy(), empty.copy()
+    return (
+        np.concatenate(ids),
+        np.concatenate(tfs),
+        np.concatenate(pos) if has_pos and pos else (None if not has_pos else np.array([], dtype=np.uint64)),
+    )
+
+
+def positions_per_doc(
+    tfs: np.ndarray, pos_deltas: np.ndarray
+) -> list[np.ndarray]:
+    """Occurrence-aligned per-doc deltas → list of absolute position
+    arrays, one per posting (cumsum within each doc's slice)."""
+    bounds = np.concatenate(([0], np.cumsum(tfs.astype(np.int64)))).astype(
+        np.int64
+    )
+    return [
+        np.cumsum(pos_deltas[bounds[i] : bounds[i + 1]], dtype=np.uint64)
+        for i in range(tfs.size)
+    ]
 
 
 def merge_segments(
@@ -434,38 +528,65 @@ def merge_segments(
     """
     new_seg = (F.col("seg_id") / group).cast("long")
     src = segments.withColumn("_new_seg", new_seg)
-    n_src = norms.withColumn("_new_seg", new_seg)
+    # alias every norm column to a FRESH name: when segments and norms
+    # come from the same parent plan (split_single_pass), the cogroup's
+    # attribute dedup silently drops right-side columns whose expression
+    # ids also appear on the left (seg_id, first_doc) — fresh aliases
+    # force new expression ids on every column.
+    n_src = norms.select(
+        new_seg.alias("_new_seg"),
+        F.col("first_doc").alias("_first_doc"),
+        F.col("n_docs").alias("_n_docs"),
+        F.col("sum_dl").alias("_sum_dl"),
+        F.col("norm_bytes").alias("_norm_bytes"),
+    )
 
     def merge_group(key, pdfs: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
         cols = [f.name for f in SEGMENT_SCHEMA.fields]
         if pdfs.empty or npdf.empty:
             return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
         (new_seg_id,) = key
-        first = int(npdf["first_doc"].min())
-        norm_parts = npdf.sort_values("first_doc")
-        total = int((norm_parts["first_doc"] + norm_parts["n_docs"]).max() - first)
+        first = int(npdf["_first_doc"].min())
+        norm_parts = npdf.sort_values("_first_doc")
+        total = int(
+            (norm_parts["_first_doc"] + norm_parts["_n_docs"]).max() - first
+        )
         norm_arr = np.zeros(total, dtype=np.uint8)
-        for r in norm_parts.itertuples(index=False):
-            off = int(r.first_doc) - first
-            norm_arr[off : off + r.n_docs] = np.frombuffer(
-                r.norm_bytes, dtype=np.uint8
-            )
+        for fd, nd, nb in zip(
+            norm_parts["_first_doc"],
+            norm_parts["_n_docs"],
+            norm_parts["_norm_bytes"],
+        ):
+            off = int(fd) - first
+            norm_arr[off : off + int(nd)] = np.frombuffer(nb, dtype=np.uint8)
         dl_all = codec.byte4_to_int(norm_arr)
 
         out = []
         for (term, bucket), rows in pdfs.groupby(["term", "bucket"], sort=False):
             parts = [
-                decode_blocks(seg_rows)
+                decode_blocks_pos(seg_rows)
                 for _, seg_rows in sorted(
                     rows.groupby("seg_id", sort=True), key=lambda kv: kv[0]
                 )
             ]
             doc_ids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
+            # per-doc deltas are self-contained (first position absolute),
+            # so merged position streams concatenate without re-encoding
+            if all(p[2] is not None for p in parts):
+                pos_deltas = np.concatenate([p[2] for p in parts])
+            else:
+                pos_deltas = None
             dl_q = dl_all[(doc_ids.astype(np.int64) - first)]
             out.extend(
                 _encode_term_blocks(
-                    term, int(bucket), int(new_seg_id), doc_ids, tfs, dl_q
+                    term,
+                    int(bucket),
+                    int(new_seg_id),
+                    doc_ids,
+                    tfs,
+                    dl_q,
+                    pos_deltas,
                 )
             )
         return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
@@ -474,15 +595,17 @@ def merge_segments(
 
     def merge_norms(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["_new_seg"].iloc[0])
-        parts = pdf.sort_values("first_doc")
-        first = int(parts["first_doc"].min())
-        total = int((parts["first_doc"] + parts["n_docs"]).max() - first)
+        parts = pdf.sort_values("_first_doc")
+        first = int(parts["_first_doc"].min())
+        total = int((parts["_first_doc"] + parts["_n_docs"]).max() - first)
         arr = np.zeros(total, dtype=np.uint8)
-        for r in parts.itertuples(index=False):
-            off = int(r.first_doc) - first
-            arr[off : off + r.n_docs] = np.frombuffer(r.norm_bytes, dtype=np.uint8)
+        for fd, nd, nb in zip(
+            parts["_first_doc"], parts["_n_docs"], parts["_norm_bytes"]
+        ):
+            off = int(fd) - first
+            arr[off : off + int(nd)] = np.frombuffer(nb, dtype=np.uint8)
         return pd.DataFrame(
-            [(seg, first, total, int(parts["sum_dl"].sum()), arr.tobytes())],
+            [(seg, first, total, int(parts["_sum_dl"].sum()), arr.tobytes())],
             columns=[f.name for f in NORMS_SCHEMA.fields],
         )
 

@@ -1,0 +1,111 @@
+"""Phrase queries over the compressed positional segments.
+
+The reference indexes text fields with DOCS_AND_FREQS_AND_POSITIONS
+(``/root/reference/java/alix/lucene/Alix.java:154-165``) precisely so
+Lucene PhraseQuery-style exact-sequence matching works off the persisted
+index. This module is the Spark analogue: decode the query terms' posting
+blocks (bucket + term pruned at the parquet scan), intersect doc ids, and
+verify adjacency with the per-doc position lists — all inside one
+grouped-by-segment Arrow kernel, no corpus rescan, no join explosion.
+
+Scale shape: the shuffle carries ONLY the query terms' block rows
+(``term IN (...)`` and ``bucket IN (...)`` are pushed to the scan), and
+each kernel invocation handles one docId-range segment — identical
+distribution to the WAND scorer (``alix_spark/search/wand.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from alix_spark.index import segments as seg_mod
+from alix_spark.index.xxhash import term_bucket
+
+PHRASE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("freq", LongType()),
+    ]
+)
+
+
+def _term_positions(
+    rows: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One (seg, term)'s block rows → (doc_ids, occ_bounds, positions).
+
+    ``positions`` is the occurrence-aligned absolute position array;
+    ``occ_bounds[i]:occ_bounds[i+1]`` slices doc i's positions.
+    """
+    doc_ids, tfs, deltas = seg_mod.decode_blocks_pos(rows)
+    if deltas is None:
+        raise ValueError(
+            "segment was built without positions; rebuild with a token "
+            "table that has a 'pos' column"
+        )
+    tfs = tfs.astype(np.int64)
+    bounds = np.concatenate(([0], np.cumsum(tfs)))
+    d = deltas.astype(np.int64)
+    # vectorized segmented cumsum: global cumsum minus, per doc run, the
+    # cumsum accumulated BEFORE the run's first delta (which is absolute)
+    cs = np.cumsum(d)
+    if tfs.size:
+        start_excl = cs[bounds[:-1]] - d[bounds[:-1]]
+        positions = cs - np.repeat(start_excl, tfs)
+    else:
+        positions = cs
+    return doc_ids.astype(np.int64), bounds, positions
+
+
+def phrase_search(segments: DataFrame, terms: list[str]) -> DataFrame:
+    """Exact-phrase matching → (doc_id, freq) for docs containing the
+    terms at consecutive positions, freq = number of phrase occurrences.
+
+    ``terms`` must be the already-analyzed token sequence (same analyzer
+    as index time — the reference's principle, ``Alix.java:698``).
+    """
+    if not terms:
+        raise ValueError("empty phrase")
+    buckets = sorted({term_bucket(t, seg_mod.DEFAULT_BUCKETS) for t in terms})
+    pruned = segments.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+    )
+
+    def kernel(key, pdf):
+        if pdf.empty or pdf["term"].nunique() < len(set(terms)):
+            return pd.DataFrame({"doc_id": [], "freq": []}).astype(
+                {"doc_id": "int64", "freq": "int64"}
+            )
+        per_term = {}
+        for term, rows in pdf.groupby("term", sort=False):
+            per_term[term] = _term_positions(rows)
+        # intersect doc ids across the (distinct) terms
+        distinct = list(dict.fromkeys(terms))
+        common = per_term[distinct[0]][0]
+        for t in distinct[1:]:
+            common = np.intersect1d(common, per_term[t][0], assume_unique=True)
+        out = []
+        for doc in common.tolist():
+            # phrase check: positions of term i, shifted by -i, intersected
+            # (enumerate, not a dict — a term may repeat in the phrase)
+            base = None
+            for i, t in enumerate(terms):
+                doc_ids, bounds, positions = per_term[t]
+                j = int(np.searchsorted(doc_ids, doc))
+                p = positions[bounds[j] : bounds[j + 1]] - i
+                base = p if base is None else np.intersect1d(
+                    base, p, assume_unique=True
+                )
+                if base.size == 0:
+                    break
+            if base is not None and base.size:
+                out.append((doc, int(base.size)))
+        return pd.DataFrame(out, columns=["doc_id", "freq"]).astype(
+            {"doc_id": "int64", "freq": "int64"}
+        )
+
+    return pruned.groupBy("seg_id").applyInPandas(kernel, PHRASE_SCHEMA)

@@ -27,20 +27,50 @@ def doc_buckets(
 ) -> DataFrame:
     """(doc_id, bucket) — equal-token buckets along the axis order.
 
-    The cumulative window orders by (axis, doc_id) for determinism. A
-    single unpartitioned window is acceptable here because its input is
-    one row per doc with two ints (the doc-length table, not the corpus);
-    for 10^12 docs this becomes a range-partitioned prefix sum — same
-    structure as :func:`alix_spark.ingest.scalable_row_number`.
+    Range-partitioned prefix sum (same structure as
+    :func:`alix_spark.ingest.scalable_row_number`): range-partition by the
+    (axis, doc_id) total order, sum ``dl`` per sorted partition, broadcast
+    the cumulative offsets, and add a partition-local running sum — no
+    row ever funnels through a single unpartitioned window. Because
+    (axis, doc_id) is a total order, the global prefix sum is identical
+    whatever boundaries ``repartitionByRange`` samples, so the bucket
+    assignment is deterministic across re-evaluations.
     """
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(axis_col).alias("_axis"))
     j = d.join(doc_lens, "doc_id")
-    w = Window.orderBy("_axis", "doc_id").rowsBetween(
+    total = j.agg(F.sum("dl")).collect()[0][0] or 1
+    n_part = max(
+        2,
+        int(j.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")) // 2,
+    )
+    ordered = j.repartitionByRange(
+        n_part, F.asc("_axis"), F.asc("doc_id")
+    ).sortWithinPartitions("_axis", "doc_id")
+    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
+    sums = {
+        r["_pid"]: r["s"]
+        for r in with_pid.groupBy("_pid").agg(F.sum("dl").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    if offsets:
+        offset_col = F.coalesce(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+                F.col("_pid")
+            ],
+            F.lit(0),
+        )
+    else:  # empty corpus
+        offset_col = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy("_axis", "doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    total = j.agg(F.sum("dl")).collect()[0][0] or 1
     return (
-        j.withColumn("_cum", F.coalesce(F.sum("dl").over(w), F.lit(0)))
+        with_pid.withColumn(
+            "_cum", offset_col + F.coalesce(F.sum("dl").over(w), F.lit(0))
+        )
         .withColumn(
             "bucket",
             F.least(

@@ -146,10 +146,19 @@ def minhash_lsh_pairs(
     equi-join on (band, bucket) so it shuffles by bucket — the scalable
     path (never an all-pairs comparison).
     """
-    assert bands * rows <= 256, "bands*rows must be <= signature length"
     # both join sides reference the same subtree: cache so the (UDF-backed)
     # signatures compute once
     signatures = signatures.cache()
+    # validate against the ACTUAL signature length (one-row probe of the
+    # cached frame): an out-of-range band makes F.slice return a short
+    # array, every doc hashes to the same bucket, and LSH silently
+    # degrades to a quadratic join.
+    probe = signatures.select(F.size("sig").alias("n")).head(1)
+    if probe and bands * rows > probe[0]["n"]:
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds signature length "
+            f"{probe[0]['n']}"
+        )
     banded = signatures.select(
         "doc_id",
         F.posexplode(
