@@ -45,6 +45,13 @@ BM25_TERMS = ("fast", "join", "merge")
 BM25_IN = "('fast','join','merge')"
 PIVOT = "fast"
 
+# language-ID marker table, inlined into the DuckDB oracle
+from alix_spark.textops.quality import LANG_MARKERS as _LM
+
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang in sorted(_LM) for w in _LM[lang]
+)
+
 
 def _corpus(spark: SparkSession, sf_dir: str) -> Corpus:
     return Corpus(load_documents(spark, sf_dir))
@@ -419,11 +426,14 @@ def q_fr_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 Lucene-faithful variant (SmallFloat norms) — rank-identity vs
-    the reference jar is enforced in pytest; rows-only here (the norm
-    quantization is not expressible in DuckDB SQL)."""
+    """Q3 Lucene-faithful variant: SmallFloat-quantized doc lengths, no
+    (k1+1) numerator, per-clause float32 rounding. Rank-identity vs the
+    reference jar is enforced in pytest; the DuckDB oracle reproduces the
+    full pipeline in SQL (the byte4 quantization is integer arithmetic)."""
     c = _corpus(spark, sf_dir)
-    return c.search(" ".join(BM25_TERMS), k=10, lucene=True)
+    return c.search(" ".join(BM25_TERMS), k=10, lucene=True).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
 
 
 def q_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,31 +453,37 @@ def q_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """text analysis — stopword-marker language ID; rows-only."""
+    """text analysis — stopword-marker language ID (marker-count argmax,
+    ties to the alphabetically first language)."""
     docs = load_documents(spark, sf_dir)
     return quality_mod.language_id(docs).orderBy("doc_id")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """text analysis — token-stream fingerprints; rows-only (xxhash64)."""
+    """text analysis — token-stream fingerprints (md5 variant so the
+    DuckDB oracle can recompute them; xxhash64 is the library default)."""
     docs = load_documents(spark, sf_dir)
-    return quality_mod.fingerprint(docs).orderBy("doc_id")
+    return quality_mod.fingerprint(docs, method="md5").orderBy("doc_id")
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup — MinHash+LSH candidate pairs with Jaccard estimates."""
+    """dedup — MinHash+LSH blocking then EXACT n-gram-Jaccard verify at
+    τ=0.8. The DuckDB oracle computes all-pairs exact Jaccard ≥ τ, so a
+    green row proves LSH recall = 1.0 on this corpus (the VERDICT.md
+    recall-oracle design)."""
     docs = load_documents(spark, sf_dir)
     sigs = dedup_mod.minhash_signatures(docs, n_hashes=64)
     pairs = dedup_mod.minhash_lsh_pairs(sigs, bands=16, rows=4)
-    return dedup_mod.minhash_jaccard_estimate(sigs, pairs).orderBy(
-        "id_a", "id_b"
-    )
+    verified = dedup_mod.ngram_jaccard_pairs(docs, pairs.select("id_a", "id_b"))
+    return verified.filter(F.col("jaccard") >= 0.8).orderBy("id_a", "id_b")
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup — SimHash near-duplicates within Hamming distance 3."""
+    """dedup — SimHash near-duplicates within Hamming distance 3, md5
+    token hashes (== DuckDB md5_number_lower) so the oracle recomputes
+    the per-bit majority votes and pairwise Hamming distances in SQL."""
     docs = load_documents(spark, sf_dir)
-    sims = dedup_mod.simhash(docs)
+    sims = dedup_mod.simhash(docs, hash_fn="md5")
     return dedup_mod.simhash_near_dups(sims, max_hamming=3).orderBy(
         "id_a", "id_b"
     )
@@ -1012,9 +1028,125 @@ def oracle_sql() -> dict[str, str]:
             FROM allx GROUP BY expression
             ORDER BY n DESC, expression ASC LIMIT 50
         """,
-        # minhash_pairs / simhash_dups / lsh_knn / kwic / fr_analysis /
-        # bm25_lucene / language_id / fingerprint:
-        # hash-based or non-SQL-expressible — driver records rows-only
+        "bm25_lucene": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+                   FROM tok WHERE term IN {BM25_IN} GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                   FROM tok GROUP BY doc_id),
+            -- Lucene SmallFloat byte4 quantization (intToByte4 then
+            -- byte4ToInt), validated against the numpy codec 1..200000
+            dlq AS (SELECT doc_id,
+                           CASE WHEN dl < 32 THEN dl
+                                ELSE 24 + (((((dl - 24) >> s) & 7) | 8) << s)
+                           END AS dlq
+                    FROM (SELECT doc_id, dl,
+                                 CASE WHEN dl < 32 THEN 0
+                                      ELSE CAST(floor(log2(CAST(dl - 24
+                                             AS DOUBLE))) AS INTEGER) - 3
+                                 END AS s
+                          FROM dl)),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                             avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                      AS df FROM tok WHERE term IN {BM25_IN} GROUP BY term)
+            SELECT t.doc_id,
+                   ROUND(SUM(CAST(CAST(
+                     ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                     * (t.f / (t.f + 1.2 * (1 - 0.75
+                               + 0.75 * q.dlq / s.avgdl)))
+                   AS REAL) AS DOUBLE)), 4) AS score
+            FROM tf t
+            JOIN dlq q USING (doc_id)
+            JOIN dfreq d USING (term)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "language_id": f"""
+            WITH {TOK_CTE},
+            markers(lang, mterm) AS (VALUES {_MARKER_VALUES}),
+            m AS (SELECT t.doc_id, g.lang, CAST(count(*) AS BIGINT) AS hits
+                  FROM tok t JOIN markers g ON t.term = g.mterm
+                  GROUP BY t.doc_id, g.lang),
+            all_pairs AS (SELECT d.doc_id, l.lang
+                          FROM documents d
+                          CROSS JOIN (SELECT DISTINCT lang FROM markers) l),
+            scored AS (SELECT p.doc_id, p.lang,
+                              COALESCE(m.hits, 0) AS hits
+                       FROM all_pairs p
+                       LEFT JOIN m ON m.doc_id = p.doc_id
+                                  AND m.lang = p.lang)
+            SELECT doc_id, lang AS lang_pred,
+                   CAST(hits AS BIGINT) AS lang_hits
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY hits DESC, lang ASC
+                    ) AS rn FROM scored)
+            WHERE rn = 1 ORDER BY doc_id
+        """,
+        "fingerprint": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+            FROM t ORDER BY doc_id
+        """,
+        "minhash_pairs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(toks) - 2),
+                                 i -> concat_ws(' ', toks[i], toks[i+1],
+                                                toks[i+2])))
+                     END AS s
+              FROM t),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             CAST(count(*) AS DOUBLE) AS i
+                      FROM ex a JOIN ex b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "simhash_dups": f"""
+            WITH {TOK_CTE},
+            th AS (SELECT doc_id, md5_number_lower(term) AS h FROM tok),
+            bits AS (SELECT doc_id, b,
+                            SUM(CASE WHEN (h >> b) & 1 = 1
+                                     THEN 1 ELSE -1 END) AS v
+                     FROM th,
+                          (SELECT unnest(generate_series(0, 63)) AS b)
+                     GROUP BY doc_id, b),
+            fp AS (SELECT doc_id, b,
+                          CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit
+                   FROM bits),
+            pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             SUM(CASE WHEN a.bit <> b.bit
+                                      THEN 1 ELSE 0 END) AS hamming
+                      FROM fp a JOIN fp b
+                        ON a.b = b.b AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+            FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+        """,
+        # lsh_knn / kwic / fr_analysis / bm25_lucene:
+        # hash-bucket or non-SQL-expressible — driver records rows-only
         # checks; their semantics are pinned by pytest (Lucene goldens,
-        # French-chain goldens, cross-engine equality tests).
+        # French-chain goldens, LSH recall + KWIC unit tests).
     }

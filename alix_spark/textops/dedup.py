@@ -223,12 +223,18 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_fn: str = "blake2b",
 ) -> DataFrame:
-    """(doc_id, simhash) — 64-bit SimHash over blake2b token hashes.
+    """(doc_id, simhash) — 64-bit SimHash over per-token hashes.
 
     Majority vote per bit: sum over tokens of (+1 / −1) per bit, sign →
     bit. Arrow-vectorized pandas UDF with one numpy ``unpackbits`` per
     document; map-only, no shuffle.
+
+    ``hash_fn``: 'blake2b' (default) or 'md5' — the md5 variant hashes a
+    token as the little-endian uint64 of md5-digest bytes 8..16, which is
+    exactly DuckDB's ``md5_number_lower``, making the whole operator
+    reproducible in SQL for oracle checks.
     """
     import hashlib
     import re as _re
@@ -236,8 +242,11 @@ def simhash(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
+    if hash_fn not in ("blake2b", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     split_re = _re.compile(r"[^a-z0-9]+")
     n_bits = bits
+    use_md5 = hash_fn == "md5"
 
     @pandas_udf(LongType())
     def sim_udf(texts: pd.Series) -> pd.Series:
@@ -249,12 +258,25 @@ def simhash(
         def token_bits(tok: str) -> np.ndarray:
             row = bit_cache.get(tok)
             if row is None:
-                row = np.unpackbits(
-                    np.frombuffer(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                        dtype=np.uint8,
-                    )
-                )[:n_bits]
+                if use_md5:
+                    # bit j == (md5_number_lower >> j) & 1: little-endian
+                    # bit order over digest bytes 8..16
+                    row = np.unpackbits(
+                        np.frombuffer(
+                            hashlib.md5(tok.encode()).digest()[8:16],
+                            dtype=np.uint8,
+                        ),
+                        bitorder="little",
+                    )[:n_bits]
+                else:
+                    row = np.unpackbits(
+                        np.frombuffer(
+                            hashlib.blake2b(
+                                tok.encode(), digest_size=8
+                            ).digest(),
+                            dtype=np.uint8,
+                        )
+                    )[:n_bits]
                 bit_cache[tok] = row
             return row
 

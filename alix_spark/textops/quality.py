@@ -125,12 +125,23 @@ def language_id(
 
 
 def fingerprint(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, fp) — document fingerprint: xxhash64 of the normalized
-    token stream (rolling-hash analogue, deterministic)."""
+    """(doc_id, fp) — document fingerprint of the normalized token stream
+    (rolling-hash analogue, deterministic).
+
+    ``method``: 'xxhash64' (default, int64) or 'md5' (hex string —
+    reproducible in DuckDB SQL for oracle checks). Both are JVM-side.
+    """
     toks = tokens_array(F.col(text_col))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.xxhash64(F.array_join(toks, " ")).alias("fp"),
-    )
+    joined = F.array_join(toks, " ")
+    if method == "xxhash64":
+        fp = F.xxhash64(joined)
+    elif method == "md5":
+        fp = F.md5(joined)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))

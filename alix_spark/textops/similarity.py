@@ -94,14 +94,21 @@ def lsh_knn(
     vec_col: str = "embedding",
     seed: int = 42,
     exclude_id: int | None = None,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN: score only vectors in the query's hyperplane bucket.
+    """ANN: score only vectors in buckets near the query's hyperplane
+    signature (multi-probe).
 
+    ``probe_hamming``: probe every bucket within this Hamming distance of
+    the query signature — 0 is single-probe (scan fraction ≈ 2^-n_planes,
+    lowest recall), 1 adds the n_planes adjacent buckets (the standard
+    multi-probe recall fix; scan fraction ≈ (1+n_planes)·2^-n_planes).
     At scale the signature is a partition/bucketing column of the
-    embeddings table, so the filter prunes file reads; here it prunes the
-    scanned fraction ≈ 2^-n_planes of rows (recall traded for speed —
-    standard SimHash-LSH behaviour).
+    embeddings table, so the ``isin`` filter prunes file reads. Recall vs
+    the exact scan is regression-tested (tests/test_lsh_recall.py).
     """
+    from itertools import combinations
+
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
     q_sig = 0
@@ -109,12 +116,19 @@ def lsh_knn(
         d = sum(float(a) * b for a, b in zip(query_vec, p))
         if d >= 0:
             q_sig |= 1 << i
+    probe_sigs = set()
+    for r in range(probe_hamming + 1):
+        for flips in combinations(range(n_planes), r):
+            s = q_sig
+            for i in flips:
+                s ^= 1 << i
+            probe_sigs.add(s)
     df = embeddings.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
     q = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
     return (
-        df.filter(F.col("_sig") == q_sig)
+        df.filter(F.col("_sig").isin(sorted(probe_sigs)))
         .select(
             F.col(id_col).alias("vec_id"),
             F.round(cosine(F.col(vec_col), q), 4).alias("cos"),
