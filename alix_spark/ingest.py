@@ -67,9 +67,12 @@ def scalable_row_number(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_col = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )[F.col("_pid")]
+    if offsets:
+        offset_col = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("_pid")]
+    else:  # empty input: map() is untyped and fails analysis
+        offset_col = F.lit(start)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         with_pid.withColumn("_local", F.row_number().over(w))

@@ -215,6 +215,19 @@ def wand_segment_topk(
     return [(-d, s) for s, d in out]
 
 
+def _fresh_norms(norms: DataFrame) -> DataFrame:
+    """Alias every norm column to a fresh name before cogrouping with the
+    segments: when both tables derive from the same parent plan (e.g. the
+    single-pass build or an incremental update), the cogroup's attribute
+    dedup silently drops right-side columns whose expression ids also
+    appear on the left."""
+    return norms.select(
+        F.col("seg_id").alias("_nseg"),
+        F.col("first_doc").alias("_first_doc"),
+        F.col("norm_bytes").alias("_norm_bytes"),
+    )
+
+
 def wand_topk(
     segments: DataFrame,
     norms: DataFrame,
@@ -254,9 +267,9 @@ def wand_topk(
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
-        first = int(pnorms["first_doc"].iloc[0])
+        first = int(pnorms["_first_doc"].iloc[0])
         dl = codec.byte4_to_int(
-            np.frombuffer(pnorms["norm_bytes"].iloc[0], dtype=np.uint8)
+            np.frombuffer(pnorms["_norm_bytes"].iloc[0], dtype=np.uint8)
         )
         term_blocks = {t: g for t, g in pblocks.groupby("term", sort=False)}
         top = wand_segment_topk(
@@ -266,7 +279,7 @@ def wand_topk(
 
     local = (
         pruned.groupby("seg_id")
-        .cogroup(norms.groupby("seg_id"))
+        .cogroup(_fresh_norms(norms).groupby("_nseg"))
         .applyInPandas(run_seg, TOPK_SCHEMA)
     )
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -367,9 +380,9 @@ def wand_topk_batch(
             return pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
                 {"qid": "int64", "doc_id": "int64", "score": "float64"}
             )
-        first = int(pnorms["first_doc"].iloc[0])
+        first = int(pnorms["_first_doc"].iloc[0])
         dl = codec.byte4_to_int(
-            np.frombuffer(pnorms["norm_bytes"].iloc[0], dtype=np.uint8)
+            np.frombuffer(pnorms["_norm_bytes"].iloc[0], dtype=np.uint8)
         )
         by_term = {t: g for t, g in pblocks.groupby("term", sort=False)}
         out = []
@@ -385,7 +398,7 @@ def wand_topk_batch(
 
     local = (
         pruned.groupby("seg_id")
-        .cogroup(norms.groupby("seg_id"))
+        .cogroup(_fresh_norms(norms).groupby("_nseg"))
         .applyInPandas(run_seg, BATCH_SCHEMA)
     )
     from pyspark.sql import Window
