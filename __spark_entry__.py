@@ -73,6 +73,21 @@ def q_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STOP_LIST = ("fast", "join", "merge", "table", "row")
+
+
+def q_term_freq_nostop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + F5/F6 — term frequency list with a stopword filter applied
+    (the TagFilter/stop-membership path, ``FieldText.java:608-610``)."""
+    c = _corpus(spark, sf_dir)
+    return (
+        ft_mod.term_stats_nostop(c.postings, list(STOP_LIST))
+        .orderBy(F.desc("occs"), F.asc("term"))
+        .limit(100)
+        .select("term", "occs", "docs")
+    )
+
+
 def q_doc_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 — tokens per document."""
     c = _corpus(spark, sf_dir)
@@ -354,6 +369,63 @@ def q_rank_g(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_docs(c.postings, c.doc_lens, list(BM25_TERMS), sim="g", k=10)
 
 
+def q_rank_chi2inv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — 'most repulsed doc' ranking (chi2inv: (f−E)²/E when f ≤ E,
+    else 0; ``SimilarityChi2inv.java:44-55``)."""
+    from alix_spark.search.similarity import rank_docs
+
+    c = _corpus(spark, sf_dir)
+    return rank_docs(c.postings, c.doc_lens, list(BM25_TERMS), sim="chi2inv", k=10)
+
+
+def q_paint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — distributed full-text painting over the whole corpus (one
+    cogrouped pass), reported as per-doc html length; rows-only (the
+    markup semantics are pinned by tests/test_paint_collation_units.py
+    and tests/test_render_distributed.py)."""
+    from alix_spark.render.paint import paint_docs
+
+    docs = load_documents(spark, sf_dir)
+    token_table = _simple_token_offsets(docs)
+    return (
+        paint_docs(docs, token_table)
+        .select("doc_id", F.length("html").alias("html_len"))
+        .orderBy("doc_id")
+    )
+
+
+def _simple_token_offsets(docs: DataFrame) -> DataFrame:
+    """(doc_id, start, end, term) offsets for the simple chain via one
+    Arrow kernel (regex finditer — offsets aren't derivable from the
+    split-based tok CTE)."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("term", StringType()),
+        ]
+    )
+    pat = _re.compile(r"[a-z0-9]+")
+
+    def offsets(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for m in pat.finditer((text or "").lower()):
+                    rows.append((int(doc_id), m.start(), m.end(), m.group()))
+            yield pd.DataFrame(rows, columns=["doc_id", "start", "end", "term"])
+
+    return docs.select("doc_id", "text").mapInPandas(offsets, schema)
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 — docs similar to doc 0 via its top tf-idf terms → BM25."""
     from alix_spark.search.similarity import more_like_this
@@ -509,6 +581,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_freq": q_term_freq,
+        "term_freq_nostop": q_term_freq_nostop,
         "doc_lens": q_doc_lens,
         "corpus_totals": q_corpus_totals,
         "bm25_topk": q_bm25_topk,
@@ -536,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase": q_phrase,
         "rank_theme": q_rank_theme,
         "rank_g": q_rank_g,
+        "rank_chi2inv": q_rank_chi2inv,
+        "paint": q_paint,
         "more_like_this": q_more_like_this,
         "minhash_pairs": q_minhash_pairs,
         "simhash_dups": q_simhash_dups,
@@ -557,6 +632,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS occs,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
             FROM tok GROUP BY term
+            ORDER BY occs DESC, term ASC LIMIT 100
+        """,
+        "term_freq_nostop": f"""
+            WITH {TOK_CTE}
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS occs,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+            FROM tok
+            WHERE term NOT IN ('fast','join','merge','table','row')
+            GROUP BY term
             ORDER BY occs DESC, term ASC LIMIT 100
         """,
         "doc_lens": f"""
@@ -1003,6 +1088,25 @@ def oracle_sql() -> dict[str, str]:
               WHERE t.doc_id <> 0
               GROUP BY t.doc_id
               ORDER BY score DESC, t.doc_id ASC LIMIT 10)
+        """,
+        "rank_chi2inv": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS f
+                   FROM tok WHERE term IN {BM25_IN} GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                   FROM tok GROUP BY doc_id),
+            occ AS (SELECT term, CAST(count(*) AS DOUBLE) AS occs
+                    FROM tok WHERE term IN {BM25_IN} GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+            SELECT doc_id, ROUND(SUM(s), 4) AS score FROM (
+              SELECT t.doc_id,
+                     CASE WHEN t.f > o.occs * l.dl / n.n THEN 0.0
+                          ELSE pow(t.f - o.occs * l.dl / n.n, 2)
+                               / (o.occs * l.dl / n.n) END AS s
+              FROM tf t JOIN dl l USING (doc_id)
+              JOIN occ o USING (term) CROSS JOIN n)
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "phrase": f"""
             WITH {TOK_CTE}

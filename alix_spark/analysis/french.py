@@ -184,7 +184,15 @@ def tokenize_fr(text: str, skip_xml: bool = True) -> list[Token]:
 # ---------------------------------------------------------------------- #
 
 
-def lemmatize(tokens: list[Token]) -> list[Token]:
+def lemmatize(
+    tokens: list[Token],
+    words: dict[str, tuple[int, str | None, str | None]] | None = None,
+) -> list[Token]:
+    """``words`` overrides the built-in compact lexicon — the injection
+    point for a full-size (~130k-type) lexicon loaded with
+    :func:`alix_spark.analysis.fr_dicts.load_lexicon_csv` and shipped to
+    executors as a broadcast (``FrDics.java:82-83`` scale)."""
+    w = words if words is not None else D.WORDS
     for t in tokens:
         if D.group(t.tag) in (D.PUN, D.NUM):
             continue
@@ -203,8 +211,8 @@ def lemmatize(tokens: list[Token]) -> list[Token]:
                     t.orth = orth
                 continue
             low = graph.lower()
-            if low in D.WORDS:
-                tag, orth, lem = D.WORDS[low]
+            if low in w:
+                tag, orth, lem = w[low]
                 t.tag, t.orth, t.lemma = tag, orth or low, lem
                 continue
             if graph in D.BREVIDOT or graph.rstrip(".") in D.BREVIDOT:
@@ -220,12 +228,12 @@ def lemmatize(tokens: list[Token]) -> list[Token]:
             if low in D.ELISION:
                 full = D.ELISION[low]
                 t.orth = full
-                entry = D.WORDS.get(full)
+                entry = w.get(full)
                 if entry:
                     t.tag, _, t.lemma = entry[0], entry[1], entry[2]
                 continue
-            if low in D.WORDS:
-                tag, orth, lem = D.WORDS[low]
+            if low in w:
+                tag, orth, lem = w[low]
                 t.tag, t.orth, t.lemma = tag, orth or low, lem
     return tokens
 
@@ -340,11 +348,17 @@ def join_persnames(tokens: list[Token]) -> list[Token]:
 # ---------------------------------------------------------------------- #
 
 
-def analyze(text: str, skip_xml: bool = True) -> list[Token]:
+def analyze(
+    text: str,
+    skip_xml: bool = True,
+    words: dict[str, tuple[int, str | None, str | None]] | None = None,
+) -> list[Token]:
     """The full French chain; the returned tokens expose ``indexed``
-    (lemma channel with punctuation holes) and ``indexed_orth``."""
+    (lemma channel with punctuation holes) and ``indexed_orth``.
+    ``words`` optionally replaces the built-in lexicon (see
+    :func:`lemmatize`)."""
     toks = tokenize_fr(text, skip_xml=skip_xml)
-    toks = lemmatize(toks)
+    toks = lemmatize(toks, words=words)
     toks = compound_locutions(toks)
     toks = join_persnames(toks)
     return toks

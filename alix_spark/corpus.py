@@ -99,6 +99,41 @@ class Corpus:
         return self._maybe_cache(ib.build_postings(self.tokens))
 
     @cached_property
+    def orth_postings(self) -> DataFrame:
+        """T7 — the ``_orth`` twin postings: exact-spelling forms, no
+        lemma folding (``FrAnalyzer.java:56,67``,
+        ``SAXIndexer.java:429-431``). French chain only."""
+        if self.analyzer != "french":
+            raise ValueError("_orth channel exists only for the french analyzer")
+        from alix_spark.analysis.pipeline import fr_orth_tokens_for_index
+
+        return self._maybe_cache(
+            ib.build_postings(fr_orth_tokens_for_index(self.token_table))
+        )
+
+    def search_orth(self, q: str, k: int = 10) -> DataFrame:
+        """Exact-spelling BM25 search over the ``_orth`` twin field: an
+        inflected query form matches only its exact spelling, never the
+        lemma class. Doc lengths are shared with the lemma channel (both
+        channels hole out exactly the punctuation positions)."""
+        from alix_spark.analysis.french import analyze
+
+        parsed = parsermod.parse(q)
+        terms = [
+            t.indexed_orth
+            for w in parsed.positive_terms
+            for t in analyze(w)
+            if t.indexed_orth
+        ]
+        if not terms:
+            raise ValueError(f"empty orth query: {q!r}")
+        n, avgdl = self._stats
+        return bm25mod.bm25_topk(
+            self.orth_postings, self.doc_lens, terms, k=k,
+            n_docs=n, avgdl=avgdl,
+        )
+
+    @cached_property
     def doc_lens(self) -> DataFrame:
         return self._maybe_cache(ib.build_doc_lens(self.tokens))
 

@@ -5,6 +5,12 @@ Reference: ``/root/reference/java/alix/lucene/search/Doc.java:251-288``
 ``Doc.java:354-439`` (contrast: shared vs specific vocabulary of two
 docs, levels by relative frequency), ``Marker.java:40-145`` (light
 analyzer-match marker for short texts).
+
+Distributed forms: :func:`paint_docs` renders EVERY document in one
+cogrouped Arrow pass (docs ⋈ token offsets by doc_id — the same shape as
+the KWIC kernel, ``alix_spark/render/kwic.py``); :func:`contrast_docs`
+contrasts every document against one reference doc whose (small,
+one-doc) tf map is broadcast into the kernel.
 """
 
 from __future__ import annotations
@@ -74,6 +80,109 @@ def contrast(
         prev = e
     out.append(text[prev:])
     return "".join(out)
+
+
+PAINT_SCHEMA = None  # built lazily to keep pyspark imports out of unit tests
+
+
+def _paint_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [StructField("doc_id", LongType()), StructField("html", StringType())]
+    )
+
+
+def paint_docs(
+    docs,
+    token_table,
+    stop: set[str] | None = None,
+    levels: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """D3 as a distributed operator: every doc painted in one cogrouped
+    pass → (doc_id, html). Per-doc tf comes from the doc's own tokens
+    (the reference reads the doc's term vector, ``Doc.java:251-288``)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    stop = stop or set()
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    toks = token_table.select("doc_id", "start", "end", "term")
+
+    def run(key, ddf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+        if ddf.empty:
+            return pd.DataFrame({"doc_id": [], "html": []}).astype(
+                {"doc_id": "int64"}, errors="ignore"
+            )
+        text = ddf["_text"].iloc[0]
+        doc_id = int(ddf["doc_id"].iloc[0])
+        offs = list(zip(tdf["start"], tdf["end"], tdf["term"]))
+        tfs = tdf[tdf["term"] != ""]["term"].value_counts().to_dict()
+        html = paint(text, offs, tfs, stop=stop, levels=levels)
+        return pd.DataFrame([(doc_id, html)], columns=["doc_id", "html"])
+
+    return (
+        d.groupby("doc_id")
+        .cogroup(toks.groupby("doc_id"))
+        .applyInPandas(run, _paint_schema())
+    )
+
+
+def contrast_docs(
+    docs,
+    token_table,
+    other_doc_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """D4 as a distributed operator: contrast EVERY doc against one
+    reference doc → (doc_id, html). The reference doc's tf map (one doc's
+    vocabulary — small) is collected once and shipped in the kernel
+    closure; everything else stays a cogrouped per-doc pass."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    other = (
+        token_table.filter(
+            (F.col("doc_id") == other_doc_id) & (F.col("term") != "")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    tf_other = {r["term"]: int(r["tf"]) for r in other}
+    len_other = sum(tf_other.values())
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    toks = token_table.select("doc_id", "start", "end", "term")
+
+    def run(key, ddf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
+        if ddf.empty:
+            return pd.DataFrame({"doc_id": [], "html": []}).astype(
+                {"doc_id": "int64"}, errors="ignore"
+            )
+        text = ddf["_text"].iloc[0]
+        doc_id = int(ddf["doc_id"].iloc[0])
+        offs = list(zip(tdf["start"], tdf["end"], tdf["term"]))
+        nz = tdf[tdf["term"] != ""]["term"]
+        tf_self = nz.value_counts().to_dict()
+        html = contrast(
+            text, offs, tf_self, tf_other, int(nz.size), len_other
+        )
+        return pd.DataFrame([(doc_id, html)], columns=["doc_id", "html"])
+
+    return (
+        d.groupby("doc_id")
+        .cogroup(toks.groupby("doc_id"))
+        .applyInPandas(run, _paint_schema())
+    )
 
 
 def mark_terms(text: str, terms: list[str], tag: str = "mark") -> str:

@@ -7,6 +7,8 @@ Reference: the user-selectable similarity menu
 * ``g``     — G-test 2·f·ln(f/E) (``SimilarityG.java:44-70``)
 * ``chi2``  — (f−E)²/E with log₂ damping, NEGATIVE when the term is
   repelled (``SimilarityChi2.java:44-60``)
+* ``chi2inv`` — "most repulsed doc": (f−E)²/E when f ≤ E, 0 otherwise
+  (``SimilarityChi2inv.java:44-55``)
 * ``theme`` — tf/docLen (``SimilarityTheme.java:40-55``)
 
 All column expressions over the query-term postings ⋈ doc_lens join —
@@ -55,6 +57,9 @@ def rank_docs(
     elif sim == "chi2":
         chi = (f_ - e) * (f_ - e) / e / F.log2(1.0 + dl)
         score = F.when(f_ < e, -chi).otherwise(chi)
+    elif sim == "chi2inv":
+        measure = (f_ - e) * (f_ - e) / e
+        score = F.when(f_ > e, F.lit(0.0)).otherwise(measure)
     elif sim == "theme":
         score = f_ / dl
     else:
