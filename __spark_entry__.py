@@ -150,6 +150,18 @@ def q_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("facet", "hits", "freq")
 
 
+def q_facet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + hierarchy — two-level facet rollup (chapters → books → facet
+    total in ONE pass via Spark rollup; ``source`` plays the book id)."""
+    from alix_spark import hierarchy as H
+
+    c = _corpus(spark, sf_dir)
+    d = H.with_hierarchy(c.docs, book_col="source")
+    return H.facet_rollup(d, c.doc_lens, "lang").select(
+        "facet", "book_id", "docs", "occs"
+    )
+
+
 def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 — top-50 adjacent bigrams."""
     c = _corpus(spark, sf_dir)
@@ -441,40 +453,13 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1 — KWIC concordance for the pivot term (offsets from the simple
-    chain via a per-doc kernel); rows-only check."""
+    """D1 — KWIC concordance for the pivot term, offsets taken from the
+    shared simple-chain token-offset table (one Arrow kernel reused by
+    paint/kwic — VERDICT.md What's-wrong #5); rows-only check."""
     from alix_spark.render.kwic import kwic
 
     docs = load_documents(spark, sf_dir)
-    # offsets for the simple chain: rebuild via the French tokenizer's
-    # offset discipline is overkill here — regex matches inside the kernel
-    import pandas as pd
-    from pyspark.sql.types import (
-        IntegerType, LongType, StringType, StructField, StructType,
-    )
-
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("start", IntegerType()),
-            StructField("end", IntegerType()),
-            StructField("term", StringType()),
-        ]
-    )
-
-    import re as _re
-
-    pat = _re.compile(rf"\b{PIVOT}\b")
-
-    def offsets(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for m in pat.finditer(text or ""):
-                    rows.append((int(doc_id), m.start(), m.end(), PIVOT))
-            yield pd.DataFrame(rows, columns=["doc_id", "start", "end", "term"])
-
-    token_table = docs.select("doc_id", "text").mapInPandas(offsets, schema)
+    token_table = _simple_token_offsets(docs)
     return kwic(docs, token_table, [PIVOT], context=30).orderBy(
         "doc_id", "start"
     )
@@ -589,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "facet_source": q_facet_source,
         "facet_query": q_facet_query,
+        "facet_rollup": q_facet_rollup,
         "bigrams": q_bigrams,
         "cooc_window": q_cooc_window,
         "dedup_exact": q_dedup_exact,
@@ -709,6 +695,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(m.freq) AS BIGINT) AS freq
             FROM documents d JOIN m ON d.doc_id = m.doc_id
             GROUP BY d.lang
+        """,
+        "facet_rollup": f"""
+            WITH {TOK_CTE},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+            SELECT d.lang AS facet, d.source AS book_id,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(dl.dl) AS BIGINT) AS occs
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+            GROUP BY ROLLUP(d.lang, d.source)
+            HAVING d.lang IS NOT NULL
         """,
         "bigrams": f"""
             WITH {TOK_CTE}

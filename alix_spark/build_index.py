@@ -94,22 +94,25 @@ def main(argv: list[str] | None = None) -> int:
 
     n_docs, avgdl = corpus_stats(doc_lens)
 
-    segs = ctx.run_stage(
+    # segments0 is the SINGLE-PASS build shuffling raw documents (the
+    # kernel tokenizes, counts, encodes postings+positions AND emits the
+    # norm rows in bucket -1): one corpus-sized exchange, nothing else.
+    # one file per bucket dir (not shuffle-partitions × buckets): the
+    # file-commit count is a serial cost and query-side open cost
+    unioned = ctx.run_stage(
         "segments0",
         fp,
-        lambda: seg_mod.build_segments(
-            postings.select("term", "doc_id", "tf"),
-            doc_lens,
+        lambda: seg_mod.build_single_pass_from_docs(
+            docs.select("doc_id", args.text_col),
+            text_col=args.text_col,
             seg_size=args.seg_size,
             n_buckets=args.buckets,
-        # one file per bucket dir (not shuffle-partitions × buckets): the
-        # file-commit count is a serial cost and query-side open cost
-        ).repartition(args.buckets, F.col("bucket")),
+        ).repartition(args.buckets + 1, F.col("bucket")),
         partition_by=["bucket"],
     )
-    norms = ctx.run_stage(
-        "norms0", fp, lambda: seg_mod.build_norms(doc_lens, args.seg_size)
-    )
+    segs, norms_view = seg_mod.split_single_pass(unioned)
+    # norms0 reads ONLY the bucket=-1 partition dir (partition pruning)
+    norms = ctx.run_stage("norms0", fp, lambda: norms_view)
 
     seg_size = args.seg_size
     for r in range(1, args.merge_rounds + 1):

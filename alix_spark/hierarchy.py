@@ -1,0 +1,89 @@
+"""Two-level document hierarchy: books containing chapters.
+
+Reference: a ``<alix:book>`` buffers its chapters and writes them as one
+contiguous block with the book document LAST
+(``/root/reference/java/alix/lucene/SAXIndexer.java:461-479``); parent
+lookup is a type-filtered query on the shared book id, not a pointer
+(``/root/reference/java/alix/lucene/Alix.java:657-669``); corpora are
+built from book-id lists and expand to every chapter docId
+(``/root/reference/java/alix/lucene/search/Corpus.java:237-301``).
+
+Spark shape: the docs table carries ``book_id`` and ``doc_type``
+('book' | 'chapter' | 'article') columns. For the code-corpus input hint,
+``repo`` is the natural book key and files are the chapters —
+:func:`with_hierarchy` derives both columns from it. All lookups are
+joins/filters; the two-level facet aggregation is a Spark ``rollup``
+(SURVEY.md §2.9: the only grouping-set the reference ever needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BOOK = "book"
+CHAPTER = "chapter"
+
+
+def with_hierarchy(
+    docs: DataFrame, book_col: str = "repo", doc_type: str = CHAPTER
+) -> DataFrame:
+    """Attach (book_id, doc_type) to a flat docs table — every row a
+    chapter of its ``book_col`` value."""
+    return docs.withColumn("book_id", F.col(book_col)).withColumn(
+        "doc_type", F.lit(doc_type)
+    )
+
+
+def book_rows(docs: DataFrame, doc_lens: DataFrame | None = None) -> DataFrame:
+    """Synthesize one 'book' row per book_id: chapter count, doc-id range
+    (contiguous by construction when ids were assigned in (repo, path)
+    order — the reference's addDocuments-block invariant), and token
+    weight when ``doc_lens`` is given."""
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_chapters"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    ]
+    j = docs
+    if doc_lens is not None:
+        j = docs.join(doc_lens, "doc_id", "left")
+        aggs.append(F.sum("dl").cast("long").alias("occs"))
+    return j.groupBy("book_id").agg(*aggs)
+
+
+def parent_book(docs: DataFrame, doc_id: int) -> DataFrame:
+    """Alix.java:657-669 — the book row of one document, by shared
+    book_id + type filter (never a pointer)."""
+    bid = docs.filter(F.col("doc_id") == doc_id).select("book_id")
+    return docs.join(F.broadcast(bid), "book_id").filter(
+        F.col("doc_type") == BOOK
+    )
+
+
+def corpus_from_books(docs: DataFrame, book_ids: list[str]) -> DataFrame:
+    """F2 — a Corpus (docId set) from a book-id list: every chapter of
+    the named books (``Corpus.java:237-301``). Returns (doc_id)."""
+    return (
+        docs.filter(F.col("book_id").isin(list(book_ids)))
+        .filter(F.col("doc_type") != BOOK)
+        .select("doc_id")
+    )
+
+
+def facet_rollup(
+    docs: DataFrame, doc_lens: DataFrame, facet_col: str
+) -> DataFrame:
+    """Two-level facet aggregation: per (facet, book) AND per facet via
+    one ``rollup`` — chapters roll up into their books, books into the
+    facet total (the reference's bookid facet view, grouping-sets-free
+    because Spark computes both levels in one pass)."""
+    j = docs.join(doc_lens, "doc_id", "left")
+    return (
+        j.rollup(F.col(facet_col).alias("facet"), "book_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("dl").cast("long").alias("occs"),
+        )
+        .filter(F.col("facet").isNotNull())  # drop the grand-total row
+    )

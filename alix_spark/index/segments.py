@@ -386,6 +386,77 @@ def build_single_pass(
     return t.groupBy("seg_id").applyInPandas(encode_seg, SEGMENT_SCHEMA)
 
 
+def build_single_pass_from_docs(
+    docs: DataFrame,
+    text_col: str = "content",
+    seg_size: int = DEFAULT_SEG_SIZE,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Single-pass build that shuffles RAW DOCUMENTS, not exploded tokens.
+
+    The one exchange of :func:`build_single_pass` carries the token table
+    — ~4× the corpus bytes (one ~25-byte row per occurrence). Here the
+    groupBy(seg_id) shuffles ``(doc_id, text)`` instead — corpus-sized —
+    and the kernel tokenizes inside the Arrow batch (C-speed regex per
+    document, never per-row Python semantics: the whole batch is one
+    pandas pass). Same output as ``build_single_pass`` over
+    ``simple.tokenize`` (property-tested), with the shuffle shrunk to the
+    theoretical minimum for a doc-range-partitioned index.
+
+    Use this for the simple analysis chain; the French chain keeps the
+    token-table path (its kernel already produced the tokens).
+    """
+    import re as _re
+
+    from alix_spark.index.xxhash import term_bucket
+
+    t = docs.select(
+        F.col("doc_id"), F.col(text_col).alias("_text")
+    ).withColumn("seg_id", (F.col("doc_id") / seg_size).cast("long"))
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    def encode_seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [f.name for f in SEGMENT_SCHEMA.fields]
+        if pdf.empty:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        seg_id = int(pdf["seg_id"].iloc[0])
+        doc_arrs, term_arrs, pos_arrs = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+            toks = tok_re.findall((text or "").lower())
+            if not toks:
+                continue
+            n = len(toks)
+            doc_arrs.append(np.full(n, int(doc_id), dtype=np.int64))
+            term_arrs.extend(toks)
+            pos_arrs.append(np.arange(n, dtype=np.int64))
+        if not doc_arrs:
+            # keep the norm row so empty-doc segments stay represented
+            first = seg_id * seg_size
+            return pd.DataFrame(
+                [(-1, seg_id, NORM_MARKER, 0, 0, b"", b"", first, first - 1,
+                  0, 0, 0, b"")],
+                columns=cols,
+            )
+        tok_pdf = pd.DataFrame(
+            {
+                "doc_id": np.concatenate(doc_arrs),
+                "term": np.asarray(term_arrs, dtype=object),
+                "pos": np.concatenate(pos_arrs),
+            }
+        )
+        rows, norm = _encode_segment_tokens(
+            seg_id, tok_pdf, n_buckets, seg_size, term_bucket
+        )
+        seg_id_, first, n_docs, sum_dl, norm_bytes = norm
+        rows.append(
+            (-1, seg_id_, NORM_MARKER, 0, n_docs, norm_bytes, b"", first,
+             first + n_docs - 1, 0, sum_dl, 0, b"")
+        )
+        return pd.DataFrame(rows, columns=cols)
+
+    return t.groupBy("seg_id").applyInPandas(encode_seg, SEGMENT_SCHEMA)
+
+
 def split_single_pass(unioned: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Single-pass output → (segments, norms) with the standard schemas."""
     segments = unioned.filter(F.col("term") != NORM_MARKER)

@@ -86,8 +86,10 @@ def assign_doc_ids(docs: DataFrame) -> DataFrame:
 
     (repo, path) is assumed unique per snapshot — the reference's
     update-by-filename semantics (delete-then-reinsert,
-    ``/root/reference/java/alix/lucene/SAXIndexer.java:133-137``) map to
-    MERGE-by-(repo,path) upstream of this step.
+    ``/root/reference/java/alix/lucene/SAXIndexer.java:133-137``) are
+    implemented by :func:`alix_spark.index.update.incremental_update`:
+    updates keep their id, inserts append after the max id, and only the
+    touched docId-range segments are rebuilt.
     """
     return scalable_row_number(docs, [F.asc("repo"), F.asc("path")], "doc_id")
 

@@ -17,15 +17,38 @@ from pyspark.sql import functions as F
 
 
 def fr_sort_key(s: str) -> str:
-    """Accent-insensitive primary key + accent-sensitive tiebreak — the
-    practical equivalent of a TERTIARY French collator without PyICU:
-    primary = casefolded, accents stripped (canonical decomposition);
-    secondary = the original casefolded string."""
+    """TERTIARY French collation key without PyICU, three levels joined
+    by NUL separators:
+
+    * primary   — base letters, canonical decomposition, casefolded
+      (accent- and case-insensitive);
+    * secondary — accent marks compared **backwards** (from the end of
+      the word), the defining FRANCE-locale behaviour: it orders
+      cote < côte < coté < côté, where a forward comparison would put
+      coté before côte;
+    * tertiary  — case, lowercase before uppercase.
+    """
     if s is None:
         return ""
     nfd = unicodedata.normalize("NFD", s.casefold())
-    primary = "".join(c for c in nfd if not unicodedata.combining(c))
-    return primary + "\x00" + nfd
+    primary_chars: list[str] = []
+    accent_groups: list[str] = []
+    for c in nfd:
+        if unicodedata.combining(c):
+            if accent_groups:
+                accent_groups[-1] += c
+        else:
+            primary_chars.append(c)
+            accent_groups.append("")
+    primary = "".join(primary_chars)
+    secondary = "\x01".join(reversed(accent_groups))
+    nfd_orig = unicodedata.normalize("NFD", s)
+    tertiary = "".join(
+        "1" if c.isupper() else "0"
+        for c in nfd_orig
+        if not unicodedata.combining(c)
+    )
+    return primary + "\x00" + secondary + "\x00" + tertiary
 
 
 def sort_forms_fr(forms: DataFrame, term_col: str = "term") -> DataFrame:

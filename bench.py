@@ -81,17 +81,21 @@ def main() -> None:
     from alix_spark.search.bm25 import corpus_stats as _cs
 
     n_c, avgdl_c = _cs(c.doc_lens)
-    norms = seg_mod.build_norms(c.doc_lens, 1024).cache()
 
     def build_segments():
-        seg_mod.build_segments_direct(
-            c.tokens, norms, seg_size=1024
+        # docs-shuffle single-pass: tokenize in the kernel, positions
+        # included (the full Lucene-parity index), norms emitted inline
+        seg_mod.build_single_pass_from_docs(
+            docs.select("doc_id", "text"), text_col="text", seg_size=1024
         ).repartition(32, F.col("bucket")).write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(f"{tmp}/segments")
 
     timed("segment_build", build_segments)
-    segs_r = spark.read.parquet(f"{tmp}/segments")
+    segs_r, norms = seg_mod.split_single_pass(
+        spark.read.parquet(f"{tmp}/segments")
+    )
+    norms = norms.cache()
 
     wand_queries = {
         0: ["fast", "join", "merge"], 1: ["scan", "column"],
@@ -110,6 +114,13 @@ def main() -> None:
         lambda: wand_mod.wand_topk_batch(
             segs_r, norms, wand_queries, wand_dfs, n_c, avgdl_c, k=10
         ).collect(),
+    )
+
+    from alix_spark.search.phrase import phrase_search
+
+    timed(
+        "phrase",
+        lambda: phrase_search(segs_r, ["part", "filter"]).collect(),
     )
 
     # reload the persisted index (query from disk, as a real engine would)

@@ -67,12 +67,15 @@ docs = spark.read.parquet(f"{{out}}/docs")
 # ingest invariant: per-row sha256(content) equality
 bad = ingest.sha256_violations(docs, "content").count()
 assert bad == 0, f"sha256 invariant violated: {{bad}} rows"
-tokens = simple.tokenize(docs, "doc_id", "content")
+docs_stage_sec = time.time() - t0
 # ONE pass over the corpus: segments + norms from a single shuffle (the
-# kernel derives doc lengths locally); the vocabulary derives from block
-# metadata — no second corpus scan. One output file per bucket dir keeps
-# the commit cheap and query-side opens fast.
-unioned = seg_mod.build_single_pass(tokens, seg_size=2048)
+# kernel tokenizes AND derives doc lengths locally); the vocabulary
+# derives from block metadata — no second corpus scan. The shuffle
+# carries raw (doc_id, content) rows — corpus-sized, ~4x less than the
+# exploded token table. One output file per bucket dir keeps the commit
+# cheap and query-side opens fast.
+unioned = seg_mod.build_single_pass_from_docs(
+    docs.select("doc_id", "content"), text_col="content", seg_size=2048)
 unioned.repartition(33, F2.col("bucket")).write.mode("overwrite") \
     .partitionBy("bucket").parquet(f"{{out}}/index")
 idx = spark.read.parquet(f"{{out}}/index")
@@ -98,6 +101,8 @@ assert len(res) > 0
 query_sec = time.time() - t0
 print(json.dumps({{"cpus": cpus, "n_docs": n_docs,
                    "build_sec": round(build_sec, 2),
+                   "docs_stage_sec": round(docs_stage_sec, 2),
+                   "index_stage_sec": round(build_sec - docs_stage_sec, 2),
                    "build_docs_per_sec": round(n_docs / build_sec, 1),
                    "query_sec": round(query_sec, 2),
                    "queries_per_sec": round(len(queries) / query_sec, 2)}}))

@@ -43,3 +43,15 @@ def test_fr_sort_key_order():
     assert ordered[-1] == "zèbre"
     # accent-sensitive tiebreak keeps cote before côte (NFD combining)
     assert ordered.index("cote") < ordered.index("côte")
+
+
+def test_fr_backwards_secondary_accents():
+    """FRANCE-locale accent ordering compares accents from the END of the
+    word: cote < côte < coté < côté (a forward comparison would swap the
+    middle two). Lowercase sorts before uppercase at tertiary level."""
+    assert sorted(["côté", "coté", "côte", "cote"], key=fr_sort_key) == [
+        "cote", "côte", "coté", "côté"
+    ]
+    assert sorted(["Zola", "zola"], key=fr_sort_key) == ["zola", "Zola"]
+    # accents/case never outrank a primary letter difference
+    assert sorted(["côtz", "cota"], key=fr_sort_key) == ["cota", "côtz"]

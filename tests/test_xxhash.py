@@ -80,3 +80,27 @@ def test_direct_build_equals_two_stage(spark):
         for r in c.forms.select("term", "occs", "docs").collect()
     }
     assert derived == expected
+
+
+def test_docs_shuffle_build_equals_token_build(spark):
+    """build_single_pass_from_docs (raw-doc shuffle, tokenize-in-kernel)
+    is row-identical to build_single_pass over simple.tokenize."""
+    from alix_spark import Corpus
+    from alix_spark.analysis import simple
+    from alix_spark.index import segments as seg_mod
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    c = Corpus(docs)
+    a = seg_mod.build_single_pass(c.tokens, seg_size=128).toPandas()
+    b = seg_mod.build_single_pass_from_docs(
+        docs.select("doc_id", "text"), text_col="text", seg_size=128
+    ).toPandas()
+    key = ["term", "seg_id", "block_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ["bucket", "term", "seg_id", "block_id", "n", "first_doc",
+                "last_doc", "max_tf", "min_dl", "sum_tf"]:
+        assert a[col].tolist() == b[col].tolist(), col
+    for col in ["doc_gaps", "tfs", "positions"]:
+        assert [bytes(x) for x in a[col]] == [bytes(x) for x in b[col]], col
