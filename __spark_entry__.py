@@ -535,6 +535,20 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(F.col("jaccard") >= 0.8).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup — connected components over the exact-verified near-dup
+    graph (τ=0.8): (doc_id, cluster=min id of component) — the
+    canonical-survivor selection of a training-data dedup pipeline.
+    Oracle: DuckDB recursive CTE computing reachability minima."""
+    docs = load_documents(spark, sf_dir)
+    sigs = dedup_mod.minhash_signatures(docs, n_hashes=64)
+    pairs = dedup_mod.minhash_lsh_pairs(sigs, bands=16, rows=4)
+    verified = dedup_mod.ngram_jaccard_pairs(
+        docs, pairs.select("id_a", "id_b")
+    ).filter(F.col("jaccard") >= 0.8)
+    return dedup_mod.dedup_clusters(verified).orderBy("doc_id")
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup — SimHash near-duplicates within Hamming distance 3, md5
     token hashes (== DuckDB md5_number_lower) so the oracle recomputes
@@ -543,6 +557,19 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = dedup_mod.simhash(docs, hash_fn="md5")
     return dedup_mod.simhash_near_dups(sims, max_hamming=3).orderBy(
         "id_a", "id_b"
+    )
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity search — IVF (k-means coarse quantizer) ANN probing
+    ALL cells, which is provably exact ⇒ shares the brute-force oracle;
+    partial-probe recall is pytest-pinned (test_ivf_ann.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    assignments, centroids = sim_mod.ivf_build(emb, n_centroids=8, iters=3)
+    return sim_mod.ivf_knn(
+        emb, assignments, centroids, list(qvec), k=10,
+        nprobe=len(centroids), exclude_id=0,
     )
 
 
@@ -599,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paint": q_paint,
         "more_like_this": q_more_like_this,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ivf_knn": q_ivf_knn,
         "simhash_dups": q_simhash_dups,
         "lsh_knn": q_lsh_knn,
         "kwic": q_kwic,
@@ -1223,6 +1252,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "ivf_knn": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q.e)
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.e, q.e))), 4) AS cos
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(toks) - 2),
+                                 i -> concat_ws(' ', toks[i], toks[i+1],
+                                                toks[i+2])))
+                     END AS s
+              FROM t),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             CAST(count(*) AS DOUBLE) AS i
+                      FROM ex a JOIN ex b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.8),
+            sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(node, lab) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+              UNION
+              SELECT s.a, r.lab FROM sym s JOIN reach r ON s.b = r.node)
+            SELECT node AS doc_id, min(lab) AS cluster
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "simhash_dups": f"""
             WITH {TOK_CTE},

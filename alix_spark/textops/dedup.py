@@ -354,6 +354,67 @@ def simhash_near_dups(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph →
+    (doc_id, cluster), cluster = min doc id of the component — the
+    survivor-selection step of a training-data dedup pipeline (each
+    cluster keeps its canonical min-id doc).
+
+    Distributed min-label propagation: every node repeatedly takes the
+    minimum label among itself and its neighbours; converges in
+    O(component diameter) rounds (near-dup components are shallow — LSH
+    clusters are clique-ish). Each round is one join + one groupBy, all
+    JVM-side; iteration stops early when no label changes. Raises if the
+    cap is hit without convergence rather than returning wrong clusters.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    )
+    # localCheckpoint per round truncates the logical plan — iterative
+    # self-referencing lineage otherwise grows exponentially and OOMs the
+    # planner long before the data does
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb = sym.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nb)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     candidate_pairs: DataFrame,

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,6 +134,138 @@ def lsh_knn(
         .select(
             F.col(id_col).alias("vec_id"),
             F.round(cosine(F.col(vec_col), q), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic Lloyd k-means over the
+    embedding column → (assignments (vec_id, cell), centroids).
+
+    * init: the ``n_centroids`` lowest vec_ids (deterministic, no RNG);
+    * assign: one Arrow kernel per batch — numpy matmul of the batch
+      against the broadcast centroid matrix (cosine);
+    * update: map-side partial (cell, count, sum) per Arrow batch, tiny
+      final reduce on the driver (k × n_batches rows) — the scalable
+      mean-update shape.
+
+    At rest the ``cell`` column becomes the partition key of the vectors
+    table, so a query scans only its probed cells' files.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    first = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    cents = np.array([list(r[vec_col]) for r in first], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+
+    def assign_udf_for(c: np.ndarray):
+        cn = c.copy()
+
+        @pandas_udf(IntegerType())
+        def assign(vecs: pd.Series) -> pd.Series:
+            m = np.array(vecs.tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+            return pd.Series(np.argmax(m @ cn.T, axis=1).astype("int32"))
+
+        return assign
+
+    for _ in range(iters):
+        assign = assign_udf_for(cents)
+        assigned = embeddings.select(
+            F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cell")
+        )
+        # partial sums per Arrow batch -> tiny driver-side finalize
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, IntegerType as IT, LongType,
+            StructField, StructType,
+        )
+
+        part_schema = StructType(
+            [
+                StructField("cell", IT()),
+                StructField("n", LongType()),
+                StructField("s", ArrayType(DoubleType())),
+            ]
+        )
+        dim = cents.shape[1]
+        k = cents.shape[0]
+
+        def partial(batches):
+            for pdf in batches:
+                m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                cells = pdf["cell"].to_numpy()
+                rows = []
+                for c in np.unique(cells):
+                    sel = m[cells == c]
+                    rows.append((int(c), int(sel.shape[0]), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cell", "n", "s"])
+
+        parts = assigned.select("cell", vec_col).mapInPandas(
+            partial, part_schema
+        ).collect()
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in parts:
+            sums[r["cell"]] += np.array(r["s"])
+            counts[r["cell"]] += r["n"]
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+
+    assign = assign_udf_for(cents)
+    assignments = embeddings.select(
+        F.col(id_col), assign(F.col(vec_col)).alias("cell")
+    )
+    return assignments, cents.tolist()
+
+
+def ivf_knn(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF search: rank cells by centroid·query, scan only the top
+    ``nprobe`` cells, exact cosine within them → (vec_id, cos).
+
+    ``nprobe == len(centroids)`` scans everything and is EXACTLY
+    brute-force top-k (the driver-contract oracle property); small
+    nprobe is the 100 TB path (cells are partition dirs — file-level
+    pruning)."""
+    q = np.array(query_vec, dtype=np.float64)
+    q /= np.linalg.norm(q) + 1e-12
+    c = np.array(centroids, dtype=np.float64)
+    order = np.argsort(-(c @ q))
+    probe = [int(x) for x in order[:nprobe]]
+    cand = embeddings.join(
+        assignments.filter(F.col("cell").isin(probe)).select(id_col), id_col
+    )
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(F.col(vec_col), qcol), 4).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)

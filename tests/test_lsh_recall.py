@@ -100,3 +100,20 @@ def test_minhash_band_validation(spark):
     sigs = dedup_mod.minhash_signatures(docs, n_hashes=16)
     with pytest.raises(ValueError, match="exceeds signature length"):
         dedup_mod.minhash_lsh_pairs(sigs, bands=16, rows=4)
+
+
+def test_dedup_clusters_chain_and_cap(spark):
+    """Label propagation handles a 7-node path (diameter > 1 round) and
+    the iteration cap raises instead of returning wrong clusters."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(10, 11)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup_mod.dedup_clusters(pairs).collect()
+    }
+    assert all(out[i] == 0 for i in range(7))
+    assert out[10] == 10 and out[11] == 10
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_mod.dedup_clusters(pairs, max_iter=1)

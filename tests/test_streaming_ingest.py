@@ -1,0 +1,119 @@
+"""Structured Streaming ingest: per-file micro-batches MERGE into the
+versioned index; CURRENT pointer publishes atomically; final index is
+query-identical to a fresh computation over the final docs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from alix_spark.streaming import StreamingIndexer, docs_file_stream
+
+SEG_SIZE = 32
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    land = tmp_path_factory.mktemp("landing")
+    idx = tmp_path_factory.mktemp("stream_idx")
+    ckpt = tmp_path_factory.mktemp("ckpt")
+
+    batch1 = [
+        (f"org/r{i % 3}", f"src/f{i}.py", "c1", "py",
+         f"alpha beta gamma tok{i} delta fast join")
+        for i in range(50)
+    ]
+    # batch2: update 3 existing paths + insert 5 new ones
+    batch2 = [
+        ("org/r0", "src/f0.py", "c2", "py", "updated epsilon fast merge"),
+        ("org/r1", "src/f1.py", "c2", "py", "updated zeta fast merge"),
+        ("org/r2", "src/f2.py", "c2", "py", "updated eta fast merge"),
+    ] + [
+        ("zzz/new", f"src/n{i}.py", "c2", "py", f"fresh insert theta tok{i}")
+        for i in range(5)
+    ]
+    _rows(spark, batch1).coalesce(1).write.mode("overwrite").parquet(
+        str(land / "b1")
+    )
+    _rows(spark, batch2).coalesce(1).write.mode("overwrite").parquet(
+        str(land / "b2")
+    )
+    # the file stream watches a flat dir of files: relocate the parts
+    import glob
+    import shutil
+
+    for i, d in enumerate(("b1", "b2")):
+        (part,) = glob.glob(str(land / d / "part-*.parquet"))
+        shutil.copy(part, str(land / f"file{i}.parquet"))
+        shutil.rmtree(str(land / d))
+
+    indexer = StreamingIndexer(spark, str(idx), seg_size=SEG_SIZE)
+    q = indexer.start(
+        docs_file_stream(spark, str(land)), checkpoint=str(ckpt)
+    )
+    q.awaitTermination(120)
+    return indexer
+
+
+def test_versions_published(streamed):
+    # one version per micro-batch (maxFilesPerTrigger=1 → 2 files)
+    assert streamed.current_version() == 2
+
+
+def test_final_docs_merged(streamed):
+    docs, _, _ = streamed.load_tables()
+    assert docs.count() == 55  # 50 + 5 inserts (updates in place)
+    upd = docs.filter(F.col("path") == "src/f0.py").collect()
+    assert len(upd) == 1 and "updated" in upd[0]["content"]
+    # ids stable for updates, appended for inserts
+    assert docs.agg(F.max("doc_id")).collect()[0][0] == 54
+
+
+def test_streamed_index_matches_fresh(streamed):
+    """WAND BM25 on the streamed index == DataFrame BM25 recomputed from
+    the merged docs table."""
+    from alix_spark.analysis import simple
+    from alix_spark.index import build as ib
+    from alix_spark.search import bm25 as bm25_mod
+    from alix_spark.search import wand as wand_mod
+
+    docs, segs, norms = streamed.load_tables()
+    tokens = simple.tokenize(docs, "doc_id", "content")
+    postings = ib.build_postings(tokens).cache()
+    doc_lens = ib.build_doc_lens(tokens)
+    n, avgdl = bm25_mod.corpus_stats(doc_lens)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    for q in ["fast merge", "updated epsilon", "fresh theta"]:
+        got = wand_mod.wand_topk(
+            segs, norms, q.split(), dfs, n, avgdl, k=10
+        ).collect()
+        exp = bm25_mod.bm25_topk(
+            postings, doc_lens, q.split(), k=10, lucene=True,
+            n_docs=n, avgdl=avgdl,
+        ).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp], q
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e["score"], rel_tol=1e-6)
+
+
+def test_crash_safety_pointer(streamed, spark, tmp_path):
+    """CURRENT only moves after all tables commit: a fresh indexer over
+    an empty dir reports version 0 and empty-but-typed tables."""
+    fresh = StreamingIndexer(spark, str(tmp_path / "empty_idx"))
+    assert fresh.current_version() == 0
+    docs, segs, norms = fresh.load_tables()
+    assert docs.count() == 0 and segs.count() == 0 and norms.count() == 0
+    assert "positions" in segs.columns
