@@ -202,6 +202,13 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_mod.quality_score(docs)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text analysis — Gopher-style repetition signals: duplicate-line
+    fraction + most-frequent-bigram mass per doc."""
+    docs = load_documents(spark, sf_dir)
+    return quality_mod.repetition_stats(docs).orderBy("doc_id")
+
+
 def q_chronology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 analogue — events per day per type with value sums."""
     ev = load(spark, sf_dir, "events")
@@ -465,6 +472,30 @@ def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kwic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 (token-window form) — concordance lines as 5-token contexts
+    around every pivot occurrence; fully SQL-expressible, so unlike the
+    char-offset KWIC this one is oracle-checked."""
+    from alix_spark.analysis.simple import tokens_array
+
+    docs = load_documents(spark, sf_dir)
+    d = docs.select("doc_id", tokens_array(F.col("text")).alias("toks"))
+    m = d.select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos", "term")
+    ).filter(F.col("term") == PIVOT)
+    p = F.col("pos") + 1  # 1-based for slice
+    left_start = F.greatest(p - 5, F.lit(1))
+    return m.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.slice("toks", left_start, (p - left_start).cast("int")), " "
+        ).alias("left_ctx"),
+        F.col("term").alias("hit"),
+        F.array_join(F.slice("toks", p + 1, 5), " ").alias("right_ctx"),
+    ).orderBy("doc_id", "pos")
+
+
 def q_fr_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-T7 — the French analysis chain over the corpus: indexed-term
     frequencies through the full tokenize→lemmatize→compound pipeline;
@@ -607,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "quality_score": q_quality,
+        "repetition": q_repetition,
         "chronology": q_chronology,
         "knn_brute": q_knn_brute,
         "shared_vocab": q_shared_vocab,
@@ -631,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "lsh_knn": q_lsh_knn,
         "kwic": q_kwic,
+        "kwic_tokens": q_kwic_tokens,
         "fr_analysis": q_fr_analysis,
         "bm25_lucene": q_bm25_lucene,
         "expressions": q_expressions,
@@ -807,6 +840,36 @@ def oracle_sql() -> dict[str, str]:
                          * (1.0 - least(punct_ratio * 4.0, 1.0)), 4)
                      AS quality
             FROM m
+        """,
+        "repetition": f"""
+            WITH {TOK_CTE},
+            ln AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split(text, chr(10)), s -> trim(s)),
+                       s -> s <> '') AS lines
+              FROM documents),
+            base AS (
+              SELECT doc_id,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                           / greatest(CAST(len(lines) AS DOUBLE), 1.0), 4)
+                       AS dup_line_ratio
+              FROM ln),
+            g AS (SELECT a.doc_id, a.term AS w1, b.term AS w2,
+                         count(*) AS c
+                  FROM tok a JOIN tok b
+                    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  GROUP BY a.doc_id, a.term, b.term),
+            tb AS (SELECT doc_id,
+                          ROUND(CAST(max(c) AS DOUBLE)
+                                / CAST(sum(c) AS DOUBLE), 4)
+                            AS top_bigram_ratio
+                   FROM g GROUP BY doc_id)
+            SELECT base.doc_id, base.n_lines, base.dup_line_ratio,
+                   COALESCE(tb.top_bigram_ratio, 0.0) AS top_bigram_ratio
+            FROM base LEFT JOIN tb ON base.doc_id = tb.doc_id
+            ORDER BY base.doc_id
         """,
         "chronology": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
@@ -1113,6 +1176,28 @@ def oracle_sql() -> dict[str, str]:
               WHERE t.doc_id <> 0
               GROUP BY t.doc_id
               ORDER BY score DESC, t.doc_id ASC LIMIT 10)
+        """,
+        "kwic_tokens": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            m AS (SELECT doc_id, toks,
+                         unnest(range(1, len(toks) + 1)) AS p
+                  FROM t),
+            hits AS (SELECT doc_id, toks, p FROM m
+                     WHERE toks[p] = '{PIVOT}')
+            SELECT doc_id,
+                   CAST(p - 1 AS BIGINT) AS pos,
+                   COALESCE(array_to_string(
+                     toks[greatest(p - 5, 1) : p - 1], ' '), '')
+                     AS left_ctx,
+                   toks[p] AS hit,
+                   COALESCE(array_to_string(
+                     toks[p + 1 : least(p + 5, len(toks))], ' '), '')
+                     AS right_ctx
+            FROM hits ORDER BY doc_id, pos
         """,
         "rank_chi2inv": f"""
             WITH {TOK_CTE},

@@ -124,6 +124,56 @@ def language_id(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_ratio, top_bigram_ratio) — the classic
+    repetition quality filters of large-scale training-data pipelines
+    (duplicate-line fraction and most-frequent-2-gram mass, the
+    Gopher-rules family). Line stats are pure codegen array ops; the
+    bigram mode is one positional equi-join + two aggregations.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.greatest(F.size(lines).cast("double"), F.lit(1.0)),
+            4,
+        ).alias("dup_line_ratio"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_array(F.col(text_col))).alias("pos", "term"),
+    )
+    a = toks.select("doc_id", F.col("pos").alias("p"), F.col("term").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("p"), F.col("term").alias("w2")
+    )
+    grams = (
+        a.join(b, ["doc_id", "p"])
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 4
+            ).alias("top_bigram_ratio")
+        )
+    )
+    return base.join(grams, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "dup_line_ratio",
+        F.coalesce("top_bigram_ratio", F.lit(0.0)).alias("top_bigram_ratio"),
+    )
+
+
 def fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",

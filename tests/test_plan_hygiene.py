@@ -1,0 +1,94 @@
+"""Plan-hygiene regression guards: the physical plans the 100 TB design
+depends on must not silently regress — pushed filters reach the parquet
+scan, partition pruning fires on the bucket key, top-k stays a bounded
+TakeOrderedAndProject, and no operator plans a cartesian/nested-loop
+join."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from alix_spark import Corpus
+from tests.conftest import SF_SMOKE
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, tmp_path_factory):
+    from alix_spark.index import segments as seg_mod
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    c = Corpus(docs)
+    tmp = tmp_path_factory.mktemp("plans")
+    seg_mod.build_single_pass_from_docs(
+        docs.select("doc_id", "text"), text_col="text", seg_size=128
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{tmp}/segs")
+    segs, _ = seg_mod.split_single_pass(spark.read.parquet(f"{tmp}/segs"))
+    c.postings.write.mode("overwrite").parquet(f"{tmp}/postings")
+    postings_disk = spark.read.parquet(f"{tmp}/postings")
+    return c, segs, postings_disk
+
+
+def test_phrase_scan_pruned(ctx):
+    from alix_spark.search.phrase import phrase_search
+
+    _, segs, _ = ctx
+    p = plan_of(phrase_search(segs, ["part", "filter"]))
+    assert "PartitionFilters: [bucket" in p
+    assert "In(term, [filter,part])" in p
+    for bad in FORBIDDEN:
+        assert bad not in p
+
+
+def test_bm25_pushdown_and_bounded_topk(ctx):
+    from alix_spark.search import bm25 as bm25_mod
+
+    c, _, postings_disk = ctx
+    n, avgdl = bm25_mod.corpus_stats(c.doc_lens)
+    df = bm25_mod.bm25_topk(
+        postings_disk, c.doc_lens, ["fast", "join", "merge"], k=10,
+        n_docs=n, avgdl=avgdl,
+    )
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p
+    assert "In(term, [fast,join,merge])" in p  # reaches the parquet scan
+    for bad in FORBIDDEN:
+        assert bad not in p
+
+
+@pytest.mark.parametrize("op", ["cooc_window", "word_network", "bigrams"])
+def test_positional_ops_no_blowup_joins(ctx, op):
+    from alix_spark.cooc import ngrams as ngrams_mod
+    from alix_spark.cooc import window as window_mod
+
+    c, _, _ = ctx
+    if op == "cooc_window":
+        df = window_mod.cooc_window(c.tokens, "fast", 3, 3)
+    elif op == "word_network":
+        _, df = ngrams_mod.word_network(c.tokens, width=3)
+    else:
+        df = ngrams_mod.bigrams(c.tokens)
+    p = plan_of(df)
+    for bad in FORBIDDEN:
+        assert bad not in p, f"{op} plans a {bad}"
+
+
+def test_int_range_parquet_pruning(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    d = spark.read.parquet(str(tmp_path / "docs"))
+    p = plan_of(d.filter(F.col("n_chars").between(100, 200)).select("doc_id"))
+    assert "GreaterThanOrEqual(n_chars,100)" in p
+    assert "ReadSchema: struct<doc_id:bigint,n_chars" in p  # pruned columns
