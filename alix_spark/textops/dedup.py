@@ -138,13 +138,24 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    signatures: DataFrame, bands: int = 16, rows: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH → (id_a, id_b, n_bands).
 
     Docs sharing ≥1 band bucket become candidates; the join is an
     equi-join on (band, bucket) so it shuffles by bucket — the scalable
     path (never an all-pairs comparison).
+
+    ``max_bucket_size``: skip buckets holding more than this many docs —
+    the 100 TB guard against boilerplate mega-buckets (license headers,
+    generated files), where one bucket would otherwise go quadratic.
+    Recall cost is bounded: a true near-dup pair collides in ~every band,
+    so it still surfaces unless ALL of its buckets are mega (i.e. the
+    docs are boilerplate — which exact dedup upstream should have
+    collapsed). None = no cap.
     """
     # both join sides reference the same subtree: cache so the (UDF-backed)
     # signatures compute once
@@ -178,6 +189,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.select(
         F.col("doc_id").alias("id_a"), "band", "bucket"
     )
@@ -307,12 +327,18 @@ def hamming_distance(col_a, col_b):
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
-def simhash_near_dups(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    sims: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """(id_a, id_b, hamming) candidate pairs within a Hamming radius.
 
     Blocking: split the 64-bit hash into ``max_hamming + 1`` chunks — by
     pigeonhole, any pair within the radius shares at least one exact
     chunk; join per chunk (equi-join, scalable), then verify exactly.
+    ``max_bucket_size`` skips chunk buckets above the cap (same
+    mega-bucket guard as :func:`minhash_lsh_pairs`).
     """
     sims = sims.cache()  # referenced by both join sides
     n_chunks = max_hamming + 1
@@ -331,6 +357,15 @@ def simhash_near_dups(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk"),
     )
+    if max_bucket_size is not None:
+        sizes = chunked.groupBy("chunk_idx", "chunk").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        chunked = (
+            chunked.join(sizes, ["chunk_idx", "chunk"])
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = chunked.select(
         F.col("doc_id").alias("id_a"),
         F.col("simhash").alias("sim_a"),

@@ -117,3 +117,23 @@ def test_dedup_clusters_chain_and_cap(spark):
     assert out[10] == 10 and out[11] == 10
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_mod.dedup_clusters(pairs, max_iter=1)
+
+
+def test_bucket_cap_guards_mega_buckets(spark):
+    """A corpus of identical boilerplate forms one mega-bucket; the cap
+    drops it (no quadratic pair list), while distinct near-dups in small
+    buckets still pair up."""
+    rows = [(i, "license header boilerplate same everywhere") for i in range(30)]
+    rows += [(100, "a unique document alpha beta gamma delta epsilon"),
+             (101, "a unique document alpha beta gamma delta zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup_mod.minhash_signatures(docs, n_hashes=64)
+    capped = dedup_mod.minhash_lsh_pairs(
+        sigs, bands=16, rows=4, max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 30 and b < 30 for a, b in got)  # mega-bucket skipped
+    # uncapped still finds the boilerplate clique
+    full = dedup_mod.minhash_lsh_pairs(sigs, bands=16, rows=4)
+    assert full.filter((F.col("id_a") < 30) & (F.col("id_b") < 30)).count() > 0
