@@ -540,6 +540,40 @@ def q_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal — the binary-payload feature-extract kernel driven off
+    the documents table (payload = utf-8 bytes of text): byte length,
+    payload sha256, and the 8-bucket byte-histogram feature vector
+    (exploded to scalar columns — the deterministic stand-in for the
+    decode→embed stage, see textops/multimodal.py)."""
+    from alix_spark.textops.multimodal import extract_features
+
+    docs = load_documents(spark, sf_dir)
+    media = docs.select(
+        "doc_id",
+        F.lit("text").alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<mime:string,width:int,height:int,"
+            "duration_ms:int,sample_rate:int>"
+        )
+        .alias("meta"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "payload_sha256",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 4).alias(
+                f"f{i}"
+            )
+            for i in range(8)
+        ],
+    ).orderBy("doc_id")
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text analysis — stopword-marker language ID (marker-count argmax,
     ties to the alphabetically first language)."""
@@ -669,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expressions": q_expressions,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1408,6 +1443,37 @@ def oracle_sql() -> dict[str, str]:
                       GROUP BY a.doc_id, b.doc_id)
             SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
             FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+        """,
+        "multimodal_features": """
+            WITH b AS (
+              SELECT doc_id, text,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     list_transform(range(1, length(text) + 1),
+                                    i -> ascii(text[i]) >> 5) AS buck
+              FROM documents),
+            h AS (
+              SELECT doc_id, n_bytes,
+                     sha256(text) AS payload_sha256,
+                     greatest(CAST(len(buck) AS DOUBLE), 1.0) AS tot,
+                     len(list_filter(buck, c -> c = 0)) AS c0,
+                     len(list_filter(buck, c -> c = 1)) AS c1,
+                     len(list_filter(buck, c -> c = 2)) AS c2,
+                     len(list_filter(buck, c -> c = 3)) AS c3,
+                     len(list_filter(buck, c -> c = 4)) AS c4,
+                     len(list_filter(buck, c -> c = 5)) AS c5,
+                     len(list_filter(buck, c -> c = 6)) AS c6,
+                     len(list_filter(buck, c -> c = 7)) AS c7
+              FROM b)
+            SELECT doc_id, n_bytes, payload_sha256,
+                   ROUND(CAST(CAST(c0 / tot AS FLOAT) AS DOUBLE), 4) AS f0,
+                   ROUND(CAST(CAST(c1 / tot AS FLOAT) AS DOUBLE), 4) AS f1,
+                   ROUND(CAST(CAST(c2 / tot AS FLOAT) AS DOUBLE), 4) AS f2,
+                   ROUND(CAST(CAST(c3 / tot AS FLOAT) AS DOUBLE), 4) AS f3,
+                   ROUND(CAST(CAST(c4 / tot AS FLOAT) AS DOUBLE), 4) AS f4,
+                   ROUND(CAST(CAST(c5 / tot AS FLOAT) AS DOUBLE), 4) AS f5,
+                   ROUND(CAST(CAST(c6 / tot AS FLOAT) AS DOUBLE), 4) AS f6,
+                   ROUND(CAST(CAST(c7 / tot AS FLOAT) AS DOUBLE), 4) AS f7
+            FROM h ORDER BY doc_id
         """,
         # lsh_knn / kwic / fr_analysis / bm25_lucene:
         # hash-bucket or non-SQL-expressible — driver records rows-only

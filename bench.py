@@ -123,6 +123,26 @@ def main() -> None:
         lambda: phrase_search(segs_r, ["part", "filter"]).collect(),
     )
 
+    # incremental update: mutate 50 docs, re-encode ONLY touched segments
+    from alix_spark.index.update import incremental_update
+
+    d2 = docs.withColumn("repo", F.col("source")).withColumn(
+        "path", F.concat(F.lit("f"), F.col("doc_id"))
+    )
+    changed = (
+        d2.filter(F.col("doc_id") < 50)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzzupdated")))
+        .drop("doc_id")
+    )
+
+    def incr():
+        _, sn, nn, _ = incremental_update(
+            d2, segs_r, norms, changed, seg_size=1024, text_col="text"
+        )
+        return sn.count() + nn.count()
+
+    timed("incremental_update", incr)
+
     # reload the persisted index (query from disk, as a real engine would)
     postings = spark.read.parquet(f"{tmp}/postings").cache()
     doc_lens = spark.read.parquet(f"{tmp}/doc_lens").cache()
