@@ -109,3 +109,96 @@ def phrase_search(segments: DataFrame, terms: list[str]) -> DataFrame:
         )
 
     return pruned.groupBy("seg_id").applyInPandas(kernel, PHRASE_SCHEMA)
+
+
+DOCLEN_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dl", LongType()),
+    ]
+)
+
+
+def doc_lens_from_norms(norms: DataFrame) -> DataFrame:
+    """Norm rows → (doc_id, dl) with the LUCENE-VISIBLE (SmallFloat
+    byte4-quantized) lengths — the lengths BM25 must use for rank
+    identity. Served entirely from the index; docs without tokens
+    (norm byte 0) are omitted."""
+    from alix_spark.index import codec
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = []
+            dls = []
+            for first, buf in zip(pdf["first_doc"], pdf["norm_bytes"]):
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                nz = np.flatnonzero(arr)
+                ids.append(nz + int(first))
+                dls.append(codec.byte4_to_int(arr[nz]))
+            if not ids:
+                yield pd.DataFrame({"doc_id": [], "dl": []}).astype(
+                    {"doc_id": "int64", "dl": "int64"}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids).astype(np.int64),
+                    "dl": np.concatenate(dls).astype(np.int64),
+                }
+            )
+
+    return norms.select("first_doc", "norm_bytes").mapInPandas(
+        kernel, DOCLEN_SCHEMA
+    )
+
+
+def phrase_bm25_topk(
+    segments: DataFrame,
+    norms: DataFrame,
+    terms: list[str],
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene-rank-identical BM25 scoring of an exact phrase →
+    (doc_id, score) top-k.
+
+    Lucene 8's PhraseQuery scores with tf = exact phrase frequency, idf =
+    the SUM of the per-position term idfs (duplicated terms counted once
+    per position), the quantized norm length, no (k1+1) numerator, and a
+    float32 scorer output — reproduced here over the positional segments
+    and verified against lucene-core-8.8.1 goldens
+    (tests/test_phrase_rank_identity.py).
+    """
+    from alix_spark.search.bm25 import tf_expr
+
+    idf_sum = 0.0
+    for t in terms:  # per position — duplicates contribute again
+        df = dfs.get(t)
+        if df is None:
+            return phrase_search(segments, ["\0nosuchterm"]).select(
+                "doc_id", F.col("freq").cast("double").alias("score")
+            )
+        idf_sum += float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+    matches = phrase_search(segments, terms)
+    dlq = doc_lens_from_norms(norms)
+    scored = matches.join(dlq, "doc_id").withColumn(
+        "score",
+        (
+            F.lit(idf_sum)
+            * tf_expr(
+                F.col("freq").cast("double"),
+                F.col("dl").cast("double"),
+                avgdl,
+                lucene=True,
+            )
+        )
+        .cast("float")
+        .cast("double"),
+    )
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -215,6 +215,15 @@ def wand_segment_topk(
     return [(-d, s) for s, d in out]
 
 
+# the columns the scorers actually decode — selecting them before the
+# cogroup keeps the (large binary) position payloads out of the Arrow
+# transfer and the shuffle
+_SCORING_COLS = [
+    "seg_id", "term", "block_id", "n", "doc_gaps", "tfs",
+    "first_doc", "last_doc", "max_tf", "min_dl",
+]
+
+
 def _fresh_norms(norms: DataFrame) -> DataFrame:
     """Alias every norm column to a fresh name before cogrouping with the
     segments: when both tables derive from the same parent plan (e.g. the
@@ -260,7 +269,7 @@ def wand_topk(
     buckets = sorted(set(_term_buckets(segments.sparkSession, uniq, n_buckets)))
     pruned = segments.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
-    )
+    ).select(*_SCORING_COLS)  # drop positions: dead weight for scoring
 
     def run_seg(key, pblocks: pd.DataFrame, pnorms: pd.DataFrame) -> pd.DataFrame:
         if pblocks.empty or pnorms.empty:
@@ -373,7 +382,7 @@ def wand_topk_batch(
     buckets = sorted(set(_term_buckets(segments.sparkSession, all_terms, n_buckets)))
     pruned = segments.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
-    )
+    ).select(*_SCORING_COLS)
 
     def run_seg(key, pblocks: pd.DataFrame, pnorms: pd.DataFrame) -> pd.DataFrame:
         if pblocks.empty or pnorms.empty:

@@ -68,17 +68,28 @@ public class LuceneBM25Oracle {
       for (String qline : Files.readAllLines(Path.of(queriesPath))) {
         qline = qline.trim();
         if (qline.isEmpty()) continue;
-        BooleanQuery.Builder b = new BooleanQuery.Builder();
-        for (String tok : qline.split("\\s+")) {
-          BooleanClause.Occur occur = BooleanClause.Occur.SHOULD;
-          if (tok.startsWith("+")) { occur = BooleanClause.Occur.MUST; tok = tok.substring(1); }
-          else if (tok.startsWith("-")) { occur = BooleanClause.Occur.MUST_NOT; tok = tok.substring(1); }
-          b.add(new TermQuery(new Term("text", tok)), occur);
+        Query q;
+        if (qline.startsWith("\"") && qline.endsWith("\"")) {
+          // exact phrase: "w1 w2 ..." -> PhraseQuery (slop 0)
+          org.apache.lucene.search.PhraseQuery.Builder pb =
+              new org.apache.lucene.search.PhraseQuery.Builder();
+          for (String tok : qline.substring(1, qline.length() - 1).split("\\s+")) {
+            pb.add(new Term("text", tok));
+          }
+          q = pb.build();
+        } else {
+          BooleanQuery.Builder b = new BooleanQuery.Builder();
+          for (String tok : qline.split("\\s+")) {
+            BooleanClause.Occur occur = BooleanClause.Occur.SHOULD;
+            if (tok.startsWith("+")) { occur = BooleanClause.Occur.MUST; tok = tok.substring(1); }
+            else if (tok.startsWith("-")) { occur = BooleanClause.Occur.MUST_NOT; tok = tok.substring(1); }
+            b.add(new TermQuery(new Term("text", tok)), occur);
+          }
+          q = b.build();
         }
-        Query q = b.build();
         TopDocs top = searcher.search(q, k);
         StringBuilder sb = new StringBuilder();
-        sb.append("{\"q\": \"").append(qline).append("\", \"topk\": [");
+        sb.append("{\"q\": \"").append(qline.replace("\"", "\\\"")).append("\", \"topk\": [");
         boolean first = true;
         for (ScoreDoc sd : top.scoreDocs) {
           long id = reader.document(sd.doc).getField("id").numericValue().longValue();

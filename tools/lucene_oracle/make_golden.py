@@ -54,11 +54,27 @@ QUERIES = [
 ]
 
 
+# exact-phrase golden set (PhraseQuery, slop 0) — bigrams verified present
+# in the sf0.001/sf0.01 corpora plus no-match and single-term edge cases
+PHRASE_QUERIES = [
+    '"part filter"',
+    '"order order"',
+    '"order fast"',
+    '"agg part"',
+    '"stream column"',
+    '"table hash"',
+    '"merge group"',
+    '"part filter fast"',
+    '"fast"',
+]
+
+
 def tokenize(text: str) -> list[str]:
     return [t for t in SPLIT.split(text.lower()) if t]
 
 
-def main(sf_dir: str, out_name: str) -> None:
+def main(sf_dir: str, out_name: str, query_set: str = "boolean") -> None:
+    qlist = PHRASE_QUERIES if query_set == "phrase" else QUERIES
     rows = duckdb.sql(
         f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
     ).fetchall()
@@ -68,7 +84,7 @@ def main(sf_dir: str, out_name: str) -> None:
             for doc_id, text in rows:
                 f.write(f"{doc_id}\t{' '.join(tokenize(text))}\n")
         queries = Path(td) / "queries.txt"
-        queries.write_text("\n".join(QUERIES) + "\n")
+        queries.write_text("\n".join(qlist) + "\n")
 
         cp = f"{ORACLE_DIR}:{LUCENE_JAR}:{ANALYSIS_JAR}"
         subprocess.run(
@@ -97,4 +113,5 @@ def main(sf_dir: str, out_name: str) -> None:
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
-         sys.argv[2] if len(sys.argv) > 2 else "lucene_topk_sf0.001.json")
+         sys.argv[2] if len(sys.argv) > 2 else "lucene_topk_sf0.001.json",
+         sys.argv[3] if len(sys.argv) > 3 else "boolean")
