@@ -119,6 +119,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wildcard_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 wildcard — `fast win*` expands against the vocabulary
+    (WildcardQuery, ``Alix.java:731-734``) then scores exact BM25."""
+    c = _corpus(spark, sf_dir)
+    return c.search("fast win*", k=10).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 — boolean MUST/MUST_NOT retrieval: +fast +join -window."""
     c = _corpus(spark, sf_dir)
@@ -662,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lens": q_doc_lens,
         "corpus_totals": q_corpus_totals,
         "bm25_topk": q_bm25_topk,
+        "wildcard_bm25": q_wildcard_bm25,
         "boolean_must_not": q_boolean,
         "doc_stats": q_doc_stats,
         "facet_source": q_facet_source,
@@ -749,6 +759,33 @@ def oracle_sql() -> dict[str, str]:
                       FROM dl),
             dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
                       FROM tok WHERE term IN {BM25_IN} GROUP BY term)
+            SELECT t.doc_id,
+                   ROUND(SUM(
+                     ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                     * (t.f * 2.2)
+                       / (t.f + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+                   ), 4) AS score
+            FROM tf t
+            JOIN dl l USING (doc_id)
+            JOIN dfreq d USING (term)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "wildcard_bm25": f"""
+            WITH {TOK_CTE},
+            qterms AS (SELECT DISTINCT term FROM tok
+                       WHERE term = 'fast' OR term LIKE 'win%'),
+            tf AS (SELECT doc_id, t.term, CAST(count(*) AS DOUBLE) AS f
+                   FROM tok t JOIN qterms USING (term)
+                   GROUP BY doc_id, t.term),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                   FROM tok GROUP BY doc_id),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                      FROM dl),
+            dfreq AS (SELECT t.term,
+                             CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                      FROM tok t JOIN qterms USING (term) GROUP BY t.term)
             SELECT t.doc_id,
                    ROUND(SUM(
                      ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))

@@ -129,6 +129,26 @@ class StreamingIndexer:
         return w.start()
 
 
+def windowed_event_counts(
+    events: DataFrame,
+    window_dur: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream →
+    (window, event_type, n, sum_value). Late events older than the
+    watermark are dropped — the standard Structured Streaming late-data
+    discipline for the A7-style chronology curves when the corpus arrives
+    as a stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_dur), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
 def docs_file_stream(
     spark: SparkSession, src_dir: str, with_sha: bool = True
 ) -> DataFrame:

@@ -117,3 +117,68 @@ def test_crash_safety_pointer(streamed, spark, tmp_path):
     docs, segs, norms = fresh.load_tables()
     assert docs.count() == 0 and segs.count() == 0 and norms.count() == 0
     assert "positions" in segs.columns
+
+
+def test_watermarked_window_drops_late_events(spark, tmp_path):
+    """Tumbling-window counts with a 2h watermark: an event arriving
+    after the watermark passed its window is dropped (late-data
+    semantics), on-time events aggregate normally."""
+    from alix_spark.streaming import windowed_event_counts
+
+    land = tmp_path / "events"
+    land.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_file(name, rows):
+        import glob
+        import shutil
+
+        d = tmp_path / ("_" + name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d))
+        (part,) = glob.glob(str(d / "part-*.parquet"))
+        shutil.copy(part, str(land / f"{name}.parquet"))
+        shutil.rmtree(str(d))
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)
+
+    emitted: list = []
+
+    def run_round():
+        # a fresh availableNow run over the SAME checkpoint: watermark
+        # state persists across runs, so round boundaries are hard batch
+        # boundaries (file-source rate options can coalesce within a run);
+        # foreachBatch (unlike the memory sink) supports checkpoint
+        # recovery
+        stream = spark.readStream.schema(schema).parquet(str(land))
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # round 1: two events in [10:00, 11:00) and one at 13:30 that pushes
+    # the watermark to 11:30, closing the 10-11 window
+    write_file("f0", [(t(10, 5), "a", 1.0), (t(10, 20), "a", 2.0),
+                      (t(13, 30), "b", 5.0)])
+    run_round()
+    # round 2: a LATE event for the already-closed 10-11 window (dropped)
+    # plus an on-time one
+    write_file("f1", [(t(10, 40), "a", 100.0), (t(14, 0), "b", 7.0)])
+    run_round()
+    rows = {
+        (r["window"]["start"].hour, r["event_type"]): (r["n"], r["sum_value"])
+        for r in emitted
+    }
+    # the 10-11 'a' window emitted with ONLY the two on-time events —
+    # the late 100.0 event was dropped by the watermark
+    assert rows.get((10, "a")) == (2, 3.0), rows
