@@ -46,6 +46,91 @@ _WORD_CHAR = re.compile(r"[\wÀ-ɏ]")  # letters incl. accents
 _XML_TAG = re.compile(r"<[^>]*>")
 _SENT_PUNCT = {".", "!", "?", "…"}
 
+# XML elements whose CONTENT is skipped entirely (FrTokenizer.java:150-159:
+# script, style, teiHeader, note, and the like)
+_SKIP_ELEMENTS = ("script", "style", "teiheader", "note")
+_SKIP_RE = re.compile(
+    r"<(script|style|teiHeader|note)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+# structural elements that emit a PUNdiv pseudo-token (paragraph/section
+# breaks — FrTokenizer.java:135-148, tagged PUNdiv at 272-294)
+_DIV_RE = re.compile(r"<(p|section|div|lb?)\b[^>]*/?>", re.IGNORECASE)
+# character entities the reference decodes inline (FrTokenizer.java:302-318)
+_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": " ", "eacute": "é", "egrave": "è", "agrave": "à",
+    "ccedil": "ç", "ocirc": "ô", "ucirc": "û", "icirc": "î",
+    "ecirc": "ê", "acirc": "â", "ugrave": "ù", "euml": "ë",
+    "iuml": "ï", "oelig": "œ", "laquo": "«", "raquo": "»",
+    "hellip": "…", "rsquo": "'", "lsquo": "'",
+}
+_ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
+
+
+def _decode_entity(body: str) -> str | None:
+    if body.startswith("#x") or body.startswith("#X"):
+        try:
+            return chr(int(body[2:], 16))
+        except ValueError:
+            return None
+    if body.startswith("#"):
+        try:
+            return chr(int(body[1:]))
+        except ValueError:
+            return None
+    return _ENTITIES.get(body.lower())
+
+
+def _prepare(text: str, skip_xml: bool) -> tuple[str, list[int], list[int]]:
+    """Offset-preserving normalization pre-pass → (chars, starts, ends):
+    per prepared char, its original [start, end) span. Handles soft
+    hyphens, curly apostrophes, skipped-element contents, structural
+    PUNdiv pseudo-tokens (as '§'), tag blanking, and entity decoding —
+    so every downstream token keeps EXACT source offsets even through
+    multi-char entities (``FrTokenizer`` keeps offsets the same way).
+    """
+    if skip_xml and "<" in text:
+        # blank skipped-element contents and tags, preserving length;
+        # structural tags leave one '§' marker at their position
+        def _blank(m: re.Match) -> str:
+            return " " * len(m.group())
+
+        text = _SKIP_RE.sub(_blank, text)
+        text = _DIV_RE.sub(lambda m: "§" + " " * (len(m.group()) - 1), text)
+        text = _XML_TAG.sub(_blank, text)
+
+    chars: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "­":  # soft hyphen: dropped
+            i += 1
+            continue
+        if c == "’":
+            chars.append("'")
+            starts.append(i)
+            ends.append(i + 1)
+            i += 1
+            continue
+        if c == "&":
+            m = _ENTITY_RE.match(text, i)
+            if m:
+                decoded = _decode_entity(m.group(1))
+                if decoded is not None:
+                    chars.append(decoded)
+                    starts.append(i)
+                    ends.append(m.end())
+                    i = m.end()
+                    continue
+        chars.append(c)
+        starts.append(i)
+        ends.append(i + 1)
+        i += 1
+    return "".join(chars), starts, ends
+
 
 @dataclass
 class Token:
@@ -92,21 +177,22 @@ def tokenize_fr(text: str, skip_xml: bool = True) -> list[Token]:
     punctuation & numbers at this stage)."""
     if text is None:
         return []
-    # FrTokenizer.java:424-425 normalizations
-    norm = text.replace("­", "").replace("’", "'")
-    if skip_xml and "<" in norm:
-        # blank out tags, preserving offsets
-        norm = _XML_TAG.sub(lambda m: " " * len(m.group()), norm)
+    # FrTokenizer.java:424-425 normalizations + XML/entity pre-pass with
+    # exact source-offset preservation
+    norm, c_start, c_end = _prepare(text, skip_xml)
 
     tokens: list[Token] = []
     i, n = 0, len(norm)
     pos = 0
 
     def emit(graph: str, start: int, end: int, tag: int = D.UNKNOWN):
+        # start/end are PREPARED-string indices; map back to the source
         nonlocal pos
         if len(graph) > MAX_TOKEN_LEN:
             graph = graph[:MAX_TOKEN_LEN]
-        tokens.append(Token(graph, graph, None, tag, pos, start, end))
+        src_start = c_start[start] if start < n else (c_end[-1] if n else 0)
+        src_end = c_end[end - 1] if end - 1 < n and end > 0 else src_start
+        tokens.append(Token(graph, graph, None, tag, pos, src_start, src_end))
         pos += 1
 
     while i < n:
@@ -172,8 +258,14 @@ def tokenize_fr(text: str, skip_xml: bool = True) -> list[Token]:
                     i += 1  # skip the hyphen, emit the pronoun next
                     continue
             continue
-        # punctuation
-        tag = D.PUN_SENT if c in _SENT_PUNCT else D.PUN
+        # punctuation; '§' is the structural paragraph/section break
+        # (PUNdiv — emitted by the XML pre-pass for <p>/<section>/<div>)
+        if c == "§":
+            tag = D.PUN_DIV
+        elif c in _SENT_PUNCT:
+            tag = D.PUN_SENT
+        else:
+            tag = D.PUN
         emit(c, i, i + 1, tag)
         i += 1
     return tokens

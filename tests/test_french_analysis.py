@@ -113,8 +113,25 @@ def test_token_cap():
 
 
 def test_xml_skipped():
+    # <p> emits a structural PUNdiv pseudo-token that KEEPS its position
+    # as a hole (FrTokenizer.java:135-148); other tags vanish
     toks = analyze("<p>Le chat</p>")
-    assert [t.indexed for t in toks] == ["le", "chat"]
+    assert [t.indexed for t in toks] == ["", "le", "chat"]
+    assert D.group(toks[0].tag) == D.PUN and toks[0].tag == D.PUN_DIV
+
+
+def test_xml_entities_and_skipped_content():
+    # entities decode INLINE with exact source offsets; script/style/
+    # teiHeader/note contents are skipped entirely
+    text = "<note>pas moi</note>l&#39;homme &amp; le chat"
+    toks = analyze(text)
+    assert [t.indexed for t in toks] == ["le", "homme", "", "le", "chat"]
+    # the elision split worked through the numeric entity, and offsets
+    # still point into the ORIGINAL string
+    homme = [t for t in toks if t.orth == "homme"][0]
+    assert text[homme.start:homme.end] == "homme"
+    le1 = toks[0]
+    assert text[le1.start:le1.end] == "l&#39;"
 
 
 def test_deterministic():
