@@ -140,6 +140,73 @@ def lsh_knn(
     )
 
 
+def lsh_partitioned_write(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the vectors table partitioned BY the hyperplane
+    signature — the at-rest layout where :func:`lsh_knn`'s bucket filter
+    becomes file-level partition pruning (a query touches
+    (1+n_planes)·2^-n_planes of the files instead of scanning all rows).
+    """
+    dim = len(embeddings.select(vec_col).first()[vec_col])
+    planes = _hyperplanes(dim, n_planes, seed)
+    embeddings.withColumn(
+        "_sig", lsh_signature(F.col(vec_col), planes)
+    ).write.mode("overwrite").partitionBy("_sig").parquet(path)
+
+
+def lsh_knn_at_rest(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    exclude_id: int | None = None,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over an :func:`lsh_partitioned_write` table: the probe-bucket
+    ``isin`` filter hits the ``_sig`` PARTITION column, so only the
+    probed buckets' files are read (PartitionFilters in the plan —
+    asserted in tests/test_plan_hygiene.py)."""
+    from itertools import combinations
+
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    q_sig = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * b for a, b in zip(query_vec, p)) >= 0:
+            q_sig |= 1 << i
+    probe_sigs = set()
+    for r in range(probe_hamming + 1):
+        for flips in combinations(range(n_planes), r):
+            s = q_sig
+            for i in flips:
+                s ^= 1 << i
+            probe_sigs.add(s)
+    df = spark.read.parquet(path).filter(
+        F.col("_sig").isin(sorted(probe_sigs))
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    q = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_build(
     embeddings: DataFrame,
     n_centroids: int = 16,

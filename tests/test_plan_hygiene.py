@@ -92,3 +92,27 @@ def test_int_range_parquet_pruning(spark, tmp_path):
     p = plan_of(d.filter(F.col("n_chars").between(100, 200)).select("doc_id"))
     assert "GreaterThanOrEqual(n_chars,100)" in p
     assert "ReadSchema: struct<doc_id:bigint,n_chars" in p  # pruned columns
+
+
+def test_lsh_at_rest_partition_pruning(spark, tmp_path):
+    """The materialized LSH layout turns the probe filter into FILE-level
+    partition pruning, and results equal the on-the-fly LSH path."""
+    from alix_spark.textops import similarity as sim_mod
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    path = str(tmp_path / "emb_lsh")
+    sim_mod.lsh_partitioned_write(emb, path, n_planes=6)
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    df = sim_mod.lsh_knn_at_rest(
+        spark, path, qvec, k=10, n_planes=6, exclude_id=0
+    )
+    p = plan_of(df)
+    assert "PartitionFilters: [_sig" in p  # prunes files, not rows
+    got = [(r["vec_id"], r["cos"]) for r in df.collect()]
+    exp = [
+        (r["vec_id"], r["cos"])
+        for r in sim_mod.lsh_knn(
+            emb, qvec, k=10, n_planes=6, exclude_id=0, probe_hamming=1
+        ).collect()
+    ]
+    assert got == exp
