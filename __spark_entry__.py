@@ -1482,11 +1482,27 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
         """,
         "multimodal_features": """
+            -- buckets are over UTF-8 BYTES (matching the Arrow kernel's
+            -- np.frombuffer(payload, uint8) >> 5), not characters:
+            -- expand each codepoint to its UTF-8 byte values in SQL so
+            -- non-ASCII corpora agree too (DuckDB has no blob indexing)
             WITH b AS (
               SELECT doc_id, text,
                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                     list_transform(range(1, length(text) + 1),
-                                    i -> ascii(text[i]) >> 5) AS buck
+                     list_transform(flatten(list_transform(
+                       list_transform(range(1, length(text) + 1),
+                                      i -> unicode(text[i])),
+                       c -> CASE
+                         WHEN c < 128 THEN [c]
+                         WHEN c < 2048 THEN
+                           [192 + (c // 64), 128 + (c % 64)]
+                         WHEN c < 65536 THEN
+                           [224 + (c // 4096), 128 + ((c // 64) % 64),
+                            128 + (c % 64)]
+                         ELSE
+                           [240 + (c // 262144), 128 + ((c // 4096) % 64),
+                            128 + ((c // 64) % 64), 128 + (c % 64)]
+                       END)), byt -> byt >> 5) AS buck
               FROM documents),
             h AS (
               SELECT doc_id, n_bytes,

@@ -56,6 +56,10 @@ _SKIP_RE = re.compile(
 # structural elements that emit a PUNdiv pseudo-token (paragraph/section
 # breaks — FrTokenizer.java:135-148, tagged PUNdiv at 272-294)
 _DIV_RE = re.compile(r"<(p|section|div|lb?)\b[^>]*/?>", re.IGNORECASE)
+# In-band structural-break sentinel: ASCII GS (group separator). Chosen
+# non-printable so a literal '§' (or &#167;) in document text can never
+# be mis-tagged PUN_DIV.
+_DIV_MARK = "\x1d"
 # character entities the reference decodes inline (FrTokenizer.java:302-318)
 _ENTITIES = {
     "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
@@ -86,18 +90,23 @@ def _prepare(text: str, skip_xml: bool) -> tuple[str, list[int], list[int]]:
     """Offset-preserving normalization pre-pass → (chars, starts, ends):
     per prepared char, its original [start, end) span. Handles soft
     hyphens, curly apostrophes, skipped-element contents, structural
-    PUNdiv pseudo-tokens (as '§'), tag blanking, and entity decoding —
+    PUNdiv pseudo-tokens (as the non-printable sentinel ``\\x1d``, so a
+    literal '§' in document text stays ordinary punctuation), tag
+    blanking, and entity decoding —
     so every downstream token keeps EXACT source offsets even through
     multi-char entities (``FrTokenizer`` keeps offsets the same way).
     """
     if skip_xml and "<" in text:
         # blank skipped-element contents and tags, preserving length;
-        # structural tags leave one '§' marker at their position
+        # structural tags leave one non-printable GS marker (\x1d) at
+        # their position — in-band but unreachable from document text
+        # (entities decode printable chars only), unlike the printable
+        # '§' this used to use
         def _blank(m: re.Match) -> str:
             return " " * len(m.group())
 
         text = _SKIP_RE.sub(_blank, text)
-        text = _DIV_RE.sub(lambda m: "§" + " " * (len(m.group()) - 1), text)
+        text = _DIV_RE.sub(lambda m: _DIV_MARK + " " * (len(m.group()) - 1), text)
         text = _XML_TAG.sub(_blank, text)
 
     chars: list[str] = []
@@ -197,6 +206,13 @@ def tokenize_fr(text: str, skip_xml: bool = True) -> list[Token]:
 
     while i < n:
         c = norm[i]
+        # _DIV_MARK (\x1d) is the structural paragraph/section break
+        # sentinel from the XML pre-pass; check it BEFORE isspace() —
+        # Python classifies \x1c-\x1f as whitespace
+        if c == _DIV_MARK:
+            emit(c, i, i + 1, D.PUN_DIV)
+            i += 1
+            continue
         if c.isspace():
             i += 1
             continue
@@ -258,11 +274,10 @@ def tokenize_fr(text: str, skip_xml: bool = True) -> list[Token]:
                     i += 1  # skip the hyphen, emit the pronoun next
                     continue
             continue
-        # punctuation; '§' is the structural paragraph/section break
-        # (PUNdiv — emitted by the XML pre-pass for <p>/<section>/<div>)
-        if c == "§":
-            tag = D.PUN_DIV
-        elif c in _SENT_PUNCT:
+        # punctuation; the reference emits PUNdiv only for structural
+        # tags (handled above via _DIV_MARK), never for any printable
+        # character such as a literal '§'
+        if c in _SENT_PUNCT:
             tag = D.PUN_SENT
         else:
             tag = D.PUN

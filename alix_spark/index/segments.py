@@ -644,10 +644,22 @@ def merge_segments(
             tfs = np.concatenate([p[1] for p in parts])
             # per-doc deltas are self-contained (first position absolute),
             # so merged position streams concatenate without re-encoding
-            if all(p[2] is not None for p in parts):
+            has_pos = [p[2] is not None for p in parts]
+            if all(has_pos):
                 pos_deltas = np.concatenate([p[2] for p in parts])
-            else:
+            elif not any(has_pos):
                 pos_deltas = None
+            else:
+                # a silent degrade here would drop positions from the
+                # merged stream and phrase queries would fail much later
+                # with no hint of which merge lost them — fail loudly at
+                # the merge instead
+                raise ValueError(
+                    f"merge_segments: term {term!r} in merged seg "
+                    f"{new_seg_id} mixes positional and positions-free "
+                    "source segments; rebuild the positions-free segment "
+                    "with a 'pos' column before merging"
+                )
             dl_q = dl_all[(doc_ids.astype(np.int64) - first)]
             out.extend(
                 _encode_term_blocks(

@@ -76,10 +76,11 @@ def phrase_search(segments: DataFrame, terms: list[str]) -> DataFrame:
     )
 
     def kernel(key, pdf):
+        empty = pd.DataFrame({"doc_id": [], "freq": []}).astype(
+            {"doc_id": "int64", "freq": "int64"}
+        )
         if pdf.empty or pdf["term"].nunique() < len(set(terms)):
-            return pd.DataFrame({"doc_id": [], "freq": []}).astype(
-                {"doc_id": "int64", "freq": "int64"}
-            )
+            return empty
         per_term = {}
         for term, rows in pdf.groupby("term", sort=False):
             per_term[term] = _term_positions(rows)
@@ -88,24 +89,40 @@ def phrase_search(segments: DataFrame, terms: list[str]) -> DataFrame:
         common = per_term[distinct[0]][0]
         for t in distinct[1:]:
             common = np.intersect1d(common, per_term[t][0], assume_unique=True)
-        out = []
-        for doc in common.tolist():
-            # phrase check: positions of term i, shifted by -i, intersected
-            # (enumerate, not a dict — a term may repeat in the phrase)
-            base = None
-            for i, t in enumerate(terms):
-                doc_ids, bounds, positions = per_term[t]
-                j = int(np.searchsorted(doc_ids, doc))
-                p = positions[bounds[j] : bounds[j + 1]] - i
-                base = p if base is None else np.intersect1d(
-                    base, p, assume_unique=True
-                )
-                if base.size == 0:
-                    break
-            if base is not None and base.size:
-                out.append((doc, int(base.size)))
-        return pd.DataFrame(out, columns=["doc_id", "freq"]).astype(
-            {"doc_id": "int64", "freq": "int64"}
+        if common.size == 0:
+            return empty
+        # Flat-array adjacency: for term i, build composite keys
+        # (doc_ordinal << 32) | (pos - i) over ALL its occurrences in
+        # common docs at once, and intersect the sorted key arrays across
+        # terms — no per-doc Python loop, so a stopword-ish phrase
+        # ("de la") costs one numpy pass per term, flat in candidate
+        # count. Occurrences arrive doc-ascending, position-ascending, so
+        # each term's key array is already sorted-unique.
+        base = None
+        for i, t in enumerate(terms):
+            doc_ids, bounds, positions = per_term[t]
+            tfs = np.diff(bounds)
+            keep = np.isin(doc_ids, common, assume_unique=True)
+            occ_keep = np.repeat(keep, tfs)
+            ords = np.searchsorted(common, doc_ids).astype(np.int64)
+            occ_ord = np.repeat(ords, tfs)[occ_keep]
+            p = positions[occ_keep].astype(np.int64) - i
+            ok = p >= 0  # a position < i can never start-align
+            keys = (occ_ord[ok] << 32) | p[ok]
+            base = (
+                keys
+                if base is None
+                else np.intersect1d(base, keys, assume_unique=True)
+            )
+            if base.size == 0:
+                return empty
+        docs = common[(base >> 32)]
+        uniq, counts = np.unique(docs, return_counts=True)
+        return pd.DataFrame(
+            {
+                "doc_id": uniq.astype(np.int64),
+                "freq": counts.astype(np.int64),
+            }
         )
 
     return pruned.groupBy("seg_id").applyInPandas(kernel, PHRASE_SCHEMA)

@@ -122,6 +122,17 @@ def main() -> None:
         "phrase",
         lambda: phrase_search(segs_r, ["part", "filter"]).collect(),
     )
+    # high-df phrase: the two most document-frequent terms — nearly every
+    # doc is a candidate, exercising the flat-array adjacency kernel
+    # (time should stay flat in candidate count, not blow up per-doc)
+    hi = [
+        r["term"]
+        for r in c.forms.orderBy(F.desc("docs"), F.asc("term")).limit(2).collect()
+    ]
+    timed(
+        "phrase_highdf",
+        lambda: phrase_search(segs_r, hi).collect(),
+    )
 
     # incremental update: mutate 50 docs, re-encode ONLY touched segments
     from alix_spark.index.update import incremental_update

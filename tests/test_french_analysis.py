@@ -139,3 +139,14 @@ def test_deterministic():
     assert [t.indexed for t in analyze(text)] == [
         t.indexed for t in analyze(text)
     ]
+
+
+def test_literal_section_sign_is_not_pundiv():
+    # a literal '§' in document text (or decoded from &#167;) is ordinary
+    # punctuation; PUNdiv is emitted ONLY for structural tags (the
+    # in-band sentinel is the non-printable \x1d, unreachable from text)
+    toks = analyze("voir §&#167; 12 <p>la suite")
+    div = [t for t in toks if t.tag == D.PUN_DIV]
+    assert len(div) == 1  # only the <p>
+    puns = [t.graph for t in toks if t.tag == D.PUN]
+    assert puns.count("§") == 2

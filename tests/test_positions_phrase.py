@@ -107,3 +107,25 @@ def test_phrase_matches_positional_join(ctx, phrase):
 def test_positions_per_doc_empty():
     tfs = np.array([], dtype=np.int64)
     assert seg_mod.positions_per_doc(tfs, np.array([], dtype=np.uint64)) == []
+
+
+def test_merge_mixed_positional_raises(spark, ctx):
+    """Merging a positional segment with a positions-free one must fail
+    loudly instead of silently emitting a positions-free merged stream
+    (ADVICE r2: a silent degrade surfaces much later as a phrase-query
+    'rebuild' error with no hint of which merge dropped positions)."""
+    c, segs, norms = ctx
+    # positions-free twin of segment 1's docs, occupying seg_id 1 so the
+    # group=2 merge pairs it with the positional seg 0
+    tok_nopos = c.tokens.filter(
+        (F.col("doc_id") >= SEG_SIZE) & (F.col("doc_id") < 2 * SEG_SIZE)
+    ).drop("pos")
+    free, _ = seg_mod.split_single_pass(
+        seg_mod.build_single_pass(tok_nopos, seg_size=SEG_SIZE)
+    )
+    mixed = segs.filter(F.col("seg_id") == 0).unionByName(free)
+    m, _ = seg_mod.merge_segments(
+        mixed, norms.filter(F.col("seg_id") < 2), group=2
+    )
+    with pytest.raises(Exception, match="mixes positional"):
+        m.count()
