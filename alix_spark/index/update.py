@@ -46,6 +46,20 @@ def split_changes(
     return updates, inserts
 
 
+def seg_range_pred(affected: list[int], seg_size: int):
+    """Pushdown-friendly predicate selecting the docs of the affected
+    docId-range segments: an OR of plain ``doc_id`` range comparisons
+    (parquet row-group/file min-max stats prune on these, which the
+    arithmetic form ``(doc_id/seg_size).isin(...)`` can never do — at
+    100 TB that is the difference between touching the affected file
+    groups and scanning the whole docs table)."""
+    pred = F.lit(False)
+    for s in affected:
+        lo, hi = s * seg_size, (s + 1) * seg_size
+        pred = pred | ((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    return pred
+
+
 def incremental_update(
     docs_old: DataFrame,
     segments_old: DataFrame,
@@ -114,10 +128,9 @@ def incremental_update(
         return docs_new, segments_old, norms_old, []
 
     # rebuild ONLY the affected segments, from ALL surviving docs whose
-    # ids fall in those ranges (a segment encodes its whole doc range)
-    in_affected = docs_new.filter(
-        (F.col("doc_id") / seg_size).cast("long").isin(affected)
-    )
+    # ids fall in those ranges (a segment encodes its whole doc range);
+    # plain doc_id range comparisons so the scan prunes on parquet stats
+    in_affected = docs_new.filter(seg_range_pred(affected, seg_size))
     tokens = simple.tokenize(in_affected, "doc_id", text_col)
     rebuilt = seg_mod.build_single_pass(
         tokens, seg_size=seg_size, n_buckets=n_buckets

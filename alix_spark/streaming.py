@@ -12,33 +12,48 @@ docId-range segments re-encoded), and the new index version is published
 with the same atomic pointer-swap discipline — readers always see a
 complete, consistent version.
 
-Layout::
+Scale discipline (the Iceberg-snapshot idea): a version is a MANIFEST,
+not a copy. Table data lives in per-segment file groups written once and
+shared by reference across versions::
 
-    <index_dir>/v<N>/{docs,segments,norms}   # immutable versions
-    <index_dir>/CURRENT                       # pointer file (atomic rename)
+    <index_dir>/data/gen=<G>/<table>/seg=<id>/  # immutable file groups
+    <index_dir>/v<N>.json      # manifest: seg_id -> file-group path
+    <index_dir>/CURRENT        # pointer file (atomic rename)
+
+``process_batch`` writes ONLY the affected segments' file groups (one
+``partitionBy`` job per table) and the new manifest re-references every
+untouched segment's existing files — so a 50-doc micro-batch into a
+100 TB index costs O(touched segments) of write IO, matching the
+O(touched) compute of ``incremental_update``. Superseded versions are
+garbage-collected after publish (retain-last-K), deleting only file
+groups no retained manifest references — a reader of any retained
+version is never broken mid-GC.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alix_spark.index import segments as seg_mod
-from alix_spark.index.update import incremental_update
+from alix_spark.index.update import incremental_update, seg_range_pred
 
 DOCS_SCHEMA = (
     "repo string, path string, commit string, lang string, "
     "content string, sha256 string, doc_id long"
 )
 
+TABLES = ("docs", "segments", "norms")
+
 
 class StreamingIndexer:
     """foreachBatch sink maintaining a versioned, atomically-published
-    inverted index."""
+    inverted index with manifest-based (O(touched-segments)) persistence."""
 
     def __init__(
         self,
@@ -47,12 +62,14 @@ class StreamingIndexer:
         seg_size: int = seg_mod.DEFAULT_SEG_SIZE,
         n_buckets: int = seg_mod.DEFAULT_BUCKETS,
         text_col: str = "content",
+        retain_versions: int = 3,
     ):
         self.spark = spark
         self.index_dir = index_dir
         self.seg_size = seg_size
         self.n_buckets = n_buckets
         self.text_col = text_col
+        self.retain_versions = retain_versions
         Path(index_dir).mkdir(parents=True, exist_ok=True)
 
     # -- version pointer (the Load.java atomic-swap analogue) ----------
@@ -68,26 +85,76 @@ class StreamingIndexer:
         tmp.write_text(json.dumps({"version": version}))
         os.replace(tmp, p)  # atomic on POSIX
 
-    def _vdir(self, version: int) -> str:
-        return f"{self.index_dir}/v{version}"
+    # -- manifests -------------------------------------------------------
+    def _manifest_path(self, version: int) -> Path:
+        return Path(self.index_dir) / f"v{version}.json"
+
+    def read_manifest(self, version: int | None = None) -> dict:
+        """The manifest of ``version`` (default CURRENT): ``tables`` maps
+        table -> {seg_id(str) -> relative file-group path}."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "tables": {t: {} for t in TABLES}}
+        return json.loads(self._manifest_path(v).read_text())
 
     def load_tables(self) -> tuple[DataFrame, DataFrame, DataFrame]:
         """(docs, segments, norms) of the CURRENT version; empty frames
-        with the right schemas before the first publish."""
-        v = self.current_version()
-        if v == 0:
-            docs = self.spark.createDataFrame([], DOCS_SCHEMA)
-            segs = self.spark.createDataFrame([], seg_mod.SEGMENT_SCHEMA)
-            norms = self.spark.createDataFrame([], seg_mod.NORMS_SCHEMA)
-            return docs, segs, norms
-        d = self._vdir(v)
-        return (
-            self.spark.read.parquet(f"{d}/docs"),
-            self.spark.read.parquet(f"{d}/segments"),
-            self.spark.read.parquet(f"{d}/norms"),
-        )
+        with the right schemas before the first publish. Each table is a
+        single multi-path parquet scan over exactly the file groups its
+        manifest references — no version-copy is ever materialized."""
+        man = self.read_manifest()
+        out = []
+        schemas = {
+            "docs": DOCS_SCHEMA,
+            "segments": seg_mod.SEGMENT_SCHEMA,
+            "norms": seg_mod.NORMS_SCHEMA,
+        }
+        for t in TABLES:
+            paths = [
+                f"{self.index_dir}/{rel}" for rel in man["tables"][t].values()
+            ]
+            if paths:
+                out.append(self.spark.read.parquet(*paths))
+            else:
+                out.append(self.spark.createDataFrame([], schemas[t]))
+        return tuple(out)
 
     # -- the foreachBatch callback --------------------------------------
+    def _write_affected(
+        self,
+        df: DataFrame,
+        table: str,
+        seg_col,
+        gen: int,
+        affected: list[int],
+        pre_filter=None,
+    ) -> dict[str, str]:
+        """Write ONLY the affected segments' rows of one logical table as
+        per-segment file groups under data/gen=<gen>/<table>/ and return
+        {seg_id: relative path} for the groups that materialized (a
+        deleted-empty segment writes nothing and drops out).
+
+        ``pre_filter`` is a pushdown-friendly predicate applied BEFORE
+        deriving the partition column, so the scan of the carried-over
+        file groups prunes on parquet stats instead of evaluating an
+        arithmetic expression over the whole table."""
+        rel = f"data/gen={gen}/{table}"
+        out_dir = f"{self.index_dir}/{rel}"
+        if pre_filter is not None:
+            df = df.filter(pre_filter)
+        (
+            df.withColumn("seg", seg_col)
+            .filter(F.col("seg").isin(affected))
+            .write.partitionBy("seg")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = {}
+        for d in Path(out_dir).iterdir():
+            if d.is_dir() and d.name.startswith("seg="):
+                written[d.name.split("=", 1)[1]] = f"{rel}/{d.name}"
+        return written
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -101,14 +168,80 @@ class StreamingIndexer:
             n_buckets=self.n_buckets,
             text_col=self.text_col,
         )
+        man = self.read_manifest()
         v = self.current_version() + 1
-        d = self._vdir(v)
-        docs_new.write.mode("overwrite").parquet(f"{d}/docs")
-        segs_new.write.mode("overwrite").parquet(f"{d}/segments")
-        norms_new.write.mode("overwrite").parquet(f"{d}/norms")
-        # publish only after every table committed (_SUCCESS markers):
-        # a crash mid-batch leaves CURRENT on the previous good version
+        if not affected:
+            # pure no-op batch (e.g. re-delivered identical rows): nothing
+            # to write, nothing to publish
+            return
+        doc_seg = (F.col("doc_id") / self.seg_size).cast("long")
+        doc_pred = seg_range_pred(affected, self.seg_size)
+        seg_pred = F.col("seg_id").isin(affected)
+        new_tables = {}
+        for table, df, seg_col, pre in (
+            ("docs", docs_new, doc_seg, doc_pred),
+            ("segments", segs_new, F.col("seg_id"), seg_pred),
+            ("norms", norms_new, F.col("seg_id"), seg_pred),
+        ):
+            written = self._write_affected(
+                df, table, seg_col, v, affected, pre_filter=pre
+            )
+            carried = {
+                s: p
+                for s, p in man["tables"][table].items()
+                if int(s) not in set(affected)
+            }
+            carried.update(written)
+            new_tables[table] = carried
+        self._manifest_path(v).write_text(
+            json.dumps(
+                {"version": v, "seg_size": self.seg_size, "tables": new_tables}
+            )
+        )
+        # publish only after every file group committed (_SUCCESS
+        # markers): a crash mid-batch leaves CURRENT on the previous good
+        # version, whose file groups GC never touches
         self._publish(v)
+        self.gc()
+
+    # -- retention -------------------------------------------------------
+    def gc(self) -> list[str]:
+        """Delete manifests older than the last ``retain_versions`` and
+        every file group no retained manifest references. Returns the
+        relative paths removed. Safe for concurrent readers of retained
+        versions: referenced file groups are never touched."""
+        cur = self.current_version()
+        if cur == 0:
+            return []
+        low = max(1, cur - self.retain_versions + 1)
+        referenced: set[str] = set()
+        for v in range(low, cur + 1):
+            mp = self._manifest_path(v)
+            if not mp.exists():
+                continue
+            man = json.loads(mp.read_text())
+            for t in TABLES:
+                referenced.update(man["tables"][t].values())
+        removed = []
+        for v in range(1, low):
+            mp = self._manifest_path(v)
+            if mp.exists():
+                mp.unlink()
+                removed.append(mp.name)
+        data = Path(self.index_dir) / "data"
+        if data.exists():
+            for gen_dir in sorted(data.iterdir()):
+                for table_dir in sorted(p for p in gen_dir.iterdir() if p.is_dir()):
+                    for seg_dir in sorted(p for p in table_dir.iterdir() if p.is_dir()):
+                        rel = seg_dir.relative_to(Path(self.index_dir))
+                        if str(rel) not in referenced:
+                            shutil.rmtree(seg_dir)
+                            removed.append(str(rel))
+                    if not any(p.is_dir() for p in table_dir.iterdir()):
+                        shutil.rmtree(table_dir)
+                if not any(gen_dir.iterdir()):
+                    gen_dir.rmdir()
+        return removed
 
     def start(
         self,

@@ -182,3 +182,119 @@ def test_watermarked_window_drops_late_events(spark, tmp_path):
     # the 10-11 'a' window emitted with ONLY the two on-time events —
     # the late 100.0 event was dropped by the watermark
     assert rows.get((10, "a")) == (2, 3.0), rows
+
+
+def _dir_bytes(p):
+    import os
+
+    total = 0
+    for root, _, files in os.walk(p):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+@pytest.fixture(scope="module")
+def manifested(spark, tmp_path_factory):
+    """Three hand-driven micro-batches at seg_size=8 over 50 docs: batch2
+    touches segs {0, 6} only, batch3 touches seg 3 only."""
+    idx = tmp_path_factory.mktemp("manifest_idx")
+    ix = StreamingIndexer(spark, str(idx), seg_size=8, retain_versions=2)
+    b1 = _rows(
+        spark,
+        [
+            (f"org/r{i % 3}", f"src/f{i}.py", "c1", "py",
+             f"alpha beta tok{i} delta")
+            for i in range(50)
+        ],
+    )
+    b2 = _rows(
+        spark,
+        [("org/r0", "src/f0.py", "c2", "py", "updated zeta")]
+        + [("zzz/new", f"src/n{i}.py", "c2", "py", "fresh theta")
+           for i in range(5)],
+    )
+    b3 = _rows(spark, [("org/r0", "src/f27.py", "c3", "py", "updated eta")])
+    manifests = {}
+    for bid, b in enumerate((b1, b2, b3)):
+        ix.process_batch(b, bid)
+        v = ix.current_version()
+        manifests[v] = ix.read_manifest(v)  # snapshot before GC drops it
+    return ix, manifests
+
+
+def test_manifest_write_amplification(manifested):
+    """A micro-batch's write IO is proportional to TOUCHED segments:
+    batch2 (1 update in seg 0 + 5 inserts in seg 6) writes only those two
+    segments' file groups; every untouched segment is carried by
+    REFERENCE — the same relative path (same files on disk) as v1."""
+    ix, manifests = manifested
+    m1, m2 = manifests[1], manifests[2]
+    gen2 = {t: sorted(
+        int(s) for s, p in m2["tables"][t].items() if "gen=2" in p
+    ) for t in ("docs", "segments", "norms")}
+    assert gen2 == {"docs": [0, 6], "segments": [0, 6], "norms": [0, 6]}
+    for t in ("docs", "segments", "norms"):
+        for s in map(str, range(1, 6)):
+            assert m2["tables"][t][s] == m1["tables"][t][s], (t, s)
+    # and the gen=2 directory holds ~2 segments' worth of bytes, not 7
+    import os
+
+    g1 = _dir_bytes(os.path.join(ix.index_dir, "data/gen=1"))
+    g2 = _dir_bytes(os.path.join(ix.index_dir, "data/gen=2"))
+    assert g2 < 0.6 * g1, (g1, g2)
+
+
+def test_manifest_version_gc(manifested):
+    """retain_versions=2: after v3 publishes, v1's manifest and every
+    file group only v1 referenced are gone; v2 and v3 readers are intact."""
+    import os
+
+    ix, _ = manifested
+    assert ix.current_version() == 3
+    assert not os.path.exists(os.path.join(ix.index_dir, "v1.json"))
+    assert os.path.exists(os.path.join(ix.index_dir, "v2.json"))
+    # v1-only file groups (segs 0 and 6 of gen=1, superseded by gen=2)
+    assert not os.path.exists(
+        os.path.join(ix.index_dir, "data/gen=1/docs/seg=0")
+    )
+    # still-referenced gen=1 groups survive (seg 1 is referenced by v2+v3)
+    assert os.path.exists(os.path.join(ix.index_dir, "data/gen=1/docs/seg=1"))
+    docs, segs, norms = ix.load_tables()
+    assert docs.count() == 55
+    assert "updated eta" in [
+        r["content"]
+        for r in docs.filter(F.col("path") == "src/f27.py").collect()
+    ][0]
+
+
+def test_manifested_index_query_identity(manifested):
+    """WAND BM25 served off the manifest-assembled segments equals a
+    fresh DataFrame BM25 over the merged docs."""
+    from alix_spark.analysis import simple
+    from alix_spark.index import build as ib
+    from alix_spark.search import bm25 as bm25_mod
+    from alix_spark.search import wand as wand_mod
+
+    docs, segs, norms = manifested[0].load_tables()
+    tokens = simple.tokenize(docs, "doc_id", "content")
+    postings = ib.build_postings(tokens).cache()
+    doc_lens = ib.build_doc_lens(tokens)
+    n, avgdl = bm25_mod.corpus_stats(doc_lens)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    for q in ["updated zeta", "fresh theta", "alpha delta"]:
+        got = wand_mod.wand_topk(
+            segs, norms, q.split(), dfs, n, avgdl, k=10
+        ).collect()
+        exp = bm25_mod.bm25_topk(
+            postings, doc_lens, q.split(), k=10, lucene=True,
+            n_docs=n, avgdl=avgdl,
+        ).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp], q
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e["score"], rel_tol=1e-6)
