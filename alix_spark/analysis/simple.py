@@ -41,6 +41,59 @@ def tokens_array(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda x: x != "")
 
 
+def token_offsets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """docs → offsets table ``(doc_id, pos, start, end, term)``.
+
+    The simple chain's analogue of the reference's term vectors with
+    positions AND offsets (``/root/reference/java/alix/lucene/
+    Alix.java:154-165``): persisted once at build time so render
+    operators (KWIC / hilite / paint) read char offsets from the index
+    instead of re-tokenizing the corpus per request. Token stream is
+    row-identical to :func:`tokenize` (same ``[a-z0-9]+`` classes on the
+    lowered text); one Arrow kernel, map-only, no shuffle.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", IntegerType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("term", StringType()),
+        ]
+    )
+    pat = _re.compile(r"[a-z0-9]+")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for p, m in enumerate(pat.finditer((text or "").lower())):
+                    rows.append(
+                        (int(doc_id), p, m.start(), m.end(), m.group())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "pos", "start", "end", "term"]
+            )
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return d.mapInPandas(kernel, schema)
+
+
 def tokenize(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

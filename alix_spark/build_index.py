@@ -13,6 +13,7 @@ Stages (each a parquet checkpoint + lineage record, skipped on resume):
     postings  — (term, doc_id, tf, positions)
     doc_lens  — (doc_id, dl)
     forms     — freq-ordered vocabulary (form_id, term, occs, docs)
+    offsets   — (doc_id, pos, start, end, term) char offsets for render ops
     segments0 — compressed per-range posting segments (bucket-partitioned)
     norms0    — per-segment 1-byte norms
     segmentsK/normsK — tree-merge rounds (Lucene-style background merges)
@@ -89,6 +90,18 @@ def main(argv: list[str] | None = None) -> int:
     postings = ctx.run_stage("postings", fp, lambda: ib.build_postings(tokens))
     doc_lens = ctx.run_stage("doc_lens", fp, lambda: ib.build_doc_lens(tokens))
     ctx.run_stage("forms", fp, lambda: ib.build_forms(postings))
+
+    # offsets — term vectors with positions AND offsets, persisted so
+    # render ops (KWIC/hilite/paint) never re-tokenize the corpus
+    # (reference: Alix.java:154-165). Doc-id-sorted within files so a
+    # doc-range read prunes on parquet stats.
+    ctx.run_stage(
+        "offsets",
+        fp,
+        lambda: simple.token_offsets(docs, "doc_id", args.text_col)
+        .repartitionByRange(args.buckets, F.col("doc_id"))
+        .sortWithinPartitions("doc_id", "pos"),
+    )
 
     from alix_spark.search.bm25 import corpus_stats
 
