@@ -514,12 +514,18 @@ def q_kwic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fr_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-T7 — the French analysis chain over the corpus: indexed-term
-    frequencies through the full tokenize→lemmatize→compound pipeline;
-    rows-only check (semantics golden-tested in tests/test_french_analysis)."""
+    frequencies through the full tokenize→lemmatize→compound pipeline,
+    running with the FULL generated lexicon (~27k inflected forms,
+    alix_spark/analysis/fr_lexicon.py) broadcast to executors — the
+    FrDics.java:82-83 scale path; rows-only check (semantics
+    golden-tested in tests/test_french_analysis + test_fr_lexicon)."""
+    from alix_spark.analysis.fr_lexicon import merged_lexicon
     from alix_spark.analysis.pipeline import analyze_documents, fr_tokens_for_index
 
     docs = load_documents(spark, sf_dir)
-    token_table = analyze_documents(docs, "doc_id", "text")
+    token_table = analyze_documents(
+        docs, "doc_id", "text", lexicon=merged_lexicon()
+    )
     toks = fr_tokens_for_index(token_table)
     return (
         toks.groupBy("term")
@@ -1567,7 +1573,27 @@ def oracle_sql() -> dict[str, str]:
                      x -> x <> '')) AS BIGINT) AS html_len
             FROM documents ORDER BY doc_id
         """,
-        # lsh_knn / fr_analysis: hash-bucket-approximate / lexicon-driven
-        # — driver records rows-only checks; semantics pinned by pytest
-        # (LSH recall tests, French-chain goldens).
+        "fr_analysis": """
+            -- literal expected table: the French chain (tokenize →
+            -- lemmatize with the generated ~27k-form lexicon → locution
+            -- folding) is deterministic, golden-tested in pytest, and
+            -- not expressible in SQL — so the oracle freezes its output
+            -- on this corpus (e.g. 'date'→dater, 'value'→valoir, 'a'→
+            -- avoir are the French readings of those graphs)
+            SELECT * FROM (VALUES
+              ('join', CAST(964 AS BIGINT)), ('hash', 947), ('row', 943),
+              ('batch', 937), ('scan', 936), ('column', 934),
+              ('customer', 934), ('filter', 933), ('small', 928),
+              ('merge', 918), ('slow', 918), ('order', 912),
+              ('vector', 912), ('line', 910), ('dater', 908),
+              ('table', 908), ('agg', 901), ('valoir', 897),
+              ('key', 896), ('stream', 888), ('window', 886),
+              ('avoir', 880), ('spark', 880), ('group', 878),
+              ('partir', 878), ('big', 876), ('sort', 872),
+              ('query', 871), ('fast', 854), ('the', 840), ('dup', 26)
+            ) AS t(term, occs)
+            ORDER BY occs DESC, term ASC
+        """,
+        # lsh_knn: hash-bucket-approximate ANN — driver records a
+        # rows-only check; recall is pinned by tests/test_lsh_recall.py.
     }
