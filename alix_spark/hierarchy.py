@@ -52,6 +52,66 @@ def book_rows(docs: DataFrame, doc_lens: DataFrame | None = None) -> DataFrame:
     return j.groupBy("book_id").agg(*aggs)
 
 
+def index_book_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    title_col: str = "path",
+) -> DataFrame:
+    """Emit a REAL book document after each chapter block — the
+    reference buffers a ``<alix:book>``'s chapters and writes the book
+    document LAST in the same contiguous block
+    (``SAXIndexer.java:461-479``), so book-level text (title page, front
+    matter) is itself searchable, distinct from chapter text.
+
+    Input: a flat ``with_hierarchy`` docs table whose doc_ids were
+    assigned in (book, chapter) order (contiguous blocks — the ingest
+    invariant). Output: chapters + one ``doc_type='book'`` row per book
+    whose text is the book's front matter (book id + chapter titles),
+    with doc_ids remapped to the reference's interleaved layout::
+
+        chapters(book0) … book0 chapters(book1) … book1 …
+
+    i.e. every chapter id shifts by the number of completed book blocks
+    before it; the book row takes the id right after its block. All
+    JVM-side: one aggregate over (small) books + a broadcast join back.
+    """
+    from alix_spark.ingest import scalable_row_number
+
+    books = docs.groupBy("book_id").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.concat_ws(
+            " ",
+            F.first("book_id"),
+            F.array_join(F.sort_array(F.collect_list(title_col)), " "),
+        ).alias("_book_text"),
+    )
+    books = scalable_row_number(
+        books, [F.asc("first_doc")], "_book_rank", start=0
+    )
+    chap_cols = docs.columns
+    chapters = (
+        docs.join(
+            F.broadcast(books.select("book_id", "_book_rank")), "book_id"
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.col("_book_rank"))
+        .select(*chap_cols)
+    )
+    book_rows_df = books.select(
+        "book_id",
+        (F.col("last_doc") + F.col("_book_rank") + 1).alias("doc_id"),
+        F.col("_book_text").alias(text_col),
+    ).withColumn("doc_type", F.lit(BOOK))
+    missing = [
+        c for c in chap_cols if c not in book_rows_df.columns
+    ]
+    for c in missing:
+        book_rows_df = book_rows_df.withColumn(
+            c, F.lit(None).cast(docs.schema[c].dataType)
+        )
+    return chapters.unionByName(book_rows_df.select(*chap_cols))
+
+
 def parent_book(docs: DataFrame, doc_id: int) -> DataFrame:
     """Alix.java:657-669 — the book row of one document, by shared
     book_id + type filter (never a pointer)."""

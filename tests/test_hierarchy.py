@@ -76,3 +76,56 @@ def test_facet_rollup_two_levels(docs, doc_lens):
     assert per_book[("py", "org/a")] == (2, 30)
     assert totals["py"] == (2, 30)
     assert totals["md"] == (1, 5)
+
+
+def test_index_book_documents_layout_and_search(spark):
+    """SAXIndexer.java:461-479 — the book document is a REAL indexed row
+    written right after its chapter block: a book-only term (front
+    matter) is searchable at book level and excluded from chapter-level
+    corpora; chapter ids stay contiguous per block."""
+    flat = spark.createDataFrame(
+        [
+            (0, "org/alpha", "src/f0.py", "alpha code one"),
+            (1, "org/alpha", "src/f1.py", "alpha code two"),
+            (2, "org/alpha", "src/f2.py", "alpha code three"),
+            (3, "zzz/beta", "lib/g0.py", "beta code one"),
+            (4, "zzz/beta", "lib/g1.py", "beta code two"),
+        ],
+        "doc_id long, repo string, path string, text string",
+    )
+    d = H.with_hierarchy(flat)
+    full = H.index_book_documents(d).cache()
+    rows = {r["doc_id"]: r for r in full.collect()}
+    # interleaved layout: chapters 0-2, book at 3; chapters 4-5, book 6
+    assert [rows[i]["doc_type"] for i in range(7)] == [
+        "chapter", "chapter", "chapter", "book",
+        "chapter", "chapter", "book",
+    ]
+    assert rows[3]["book_id"] == "org/alpha"
+    assert rows[6]["book_id"] == "zzz/beta"
+    # book text = front matter (book id + chapter titles), searchable
+    from alix_spark.analysis import simple
+
+    toks = simple.tokenize(full, "doc_id", "text")
+    hits = sorted(
+        r["doc_id"]
+        for r in toks.filter(F.col("term") == "f1").select("doc_id")
+        .distinct().collect()
+    )
+    assert hits == [3]  # the chapter TITLE is found only at book level
+    # chapter text is still found at chapter level (shifted ids)
+    alpha_hits = sorted(
+        r["doc_id"]
+        for r in toks.filter(F.col("term") == "alpha").select("doc_id")
+        .distinct().collect()
+    )
+    assert alpha_hits == [0, 1, 2, 3]  # 3 chapters + the book front matter
+    # corpus-from-books expands to chapters ONLY (book row excluded)
+    corpus = sorted(
+        r["doc_id"]
+        for r in H.corpus_from_books(full, ["org/alpha"]).collect()
+    )
+    assert corpus == [0, 1, 2]
+    # parent lookup: chapter 5 (zzz/beta) → book row 6
+    parent = H.parent_book(full, 5).collect()
+    assert len(parent) == 1 and parent[0]["doc_id"] == 6
