@@ -33,7 +33,8 @@ FR_TOKENS = [
 
 
 def scalable_row_number(
-    df: DataFrame, order_cols: list, out_col: str, start: int = 0
+    df: DataFrame, order_cols: list, out_col: str, start: int = 0,
+    persist: bool = True,
 ) -> DataFrame:
     """Global dense row number without a single-partition window.
 
@@ -42,12 +43,23 @@ def scalable_row_number(
     Scales with the data; the only driver-side state is one count per
     partition. (Used for docId assignment and freq-ordered formIds.)
 
-    CHECKPOINT THE RESULT before using it from multiple downstream jobs:
-    ``repartitionByRange`` samples input to pick boundaries, and two
-    independent evaluations of the same plan may draw different
-    boundaries — ids stay a valid dense rank each time, but per-row
-    assignments can differ between evaluations. ``build_index.py``
-    persists the docs stage to parquet for exactly this reason.
+    ``persist=True`` (default) materializes the range-shuffled
+    partitions (MEMORY_AND_DISK) before the per-partition count job, so
+
+    * the map stage of the range exchange runs ONCE instead of once for
+      the count job and again for the downstream consumer — on a local
+      tmpfs corpus this is wall-neutral (±2 s at 200k docs, BENCH.md
+      22:22 run), but at 100 TB the re-executed map stage is a full
+      corpus read+sort, far dearer than a disk-backed cache; and
+    * the counts and the returned rows come from the SAME boundary
+      draw — ``repartitionByRange`` samples input to pick boundaries,
+      and two independent evaluations of the same plan may draw
+      different boundaries; with ``persist=False`` you MUST checkpoint
+      the result before any second downstream evaluation (ids stay a
+      valid dense rank each time, but per-row assignments can differ).
+
+    ``build_index.py`` persists the docs stage to parquet (lineage)
+    regardless — the cached partitions only live until that write.
     """
     n_part = max(
         2,
@@ -56,6 +68,10 @@ def scalable_row_number(
     ordered = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
         *order_cols
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
     with_pid = ordered.withColumn("_pid", F.spark_partition_id())
     counts = {
         r["_pid"]: r["cnt"]

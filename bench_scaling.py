@@ -37,6 +37,8 @@ from alix_spark.search import wand as wand_mod
 from alix_spark.search.bm25 import corpus_stats
 
 cpus = int(sys.argv[1]); src = sys.argv[2]; out = sys.argv[3]
+docs_stage = sys.argv[4] if len(sys.argv) > 4 else "parquet"
+codec = sys.argv[5] if len(sys.argv) > 5 else "snappy"
 # fixed shuffle-partition count and heap for BOTH runs: the efficiency
 # measurement varies only the core count
 spark = get_spark(app_name=f"alix-scale-{{cpus}}", master=f"local[{{cpus}}]",
@@ -59,11 +61,21 @@ n_docs = docs.count()
 
 t0 = time.time()
 from alix_spark import ingest
-# docs stage: id assignment is checkpointed (range-partition sampling
+# docs stage: id assignment must be pinned (range-partition sampling
 # makes re-evaluations of the raw plan non-reproducible; see
-# ingest.scalable_row_number)
-ingest.assign_doc_ids(docs).write.mode("overwrite").parquet(f"{{out}}/docs")
-docs = spark.read.parquet(f"{{out}}/docs")
+# ingest.scalable_row_number). Two strategies, selected by argv[4]:
+#   parquet        — the product path (resumable lineage stage); codec
+#                    from argv[5] (snappy default / none / zstd)
+#   localcheckpoint— executor-storage materialization, skipping the
+#                    parquet encode + commit + re-read roundtrip (the
+#                    right choice when resume isn't needed)
+spark.conf.set("spark.sql.parquet.compression.codec", codec)
+if docs_stage == "localcheckpoint":
+    docs = ingest.assign_doc_ids(docs).localCheckpoint()
+    docs.count()
+else:
+    ingest.assign_doc_ids(docs).write.mode("overwrite").parquet(f"{{out}}/docs")
+    docs = spark.read.parquet(f"{{out}}/docs")
 # ingest invariant: per-row sha256(content) equality
 bad = ingest.sha256_violations(docs, "content").count()
 assert bad == 0, f"sha256 invariant violated: {{bad}} rows"
@@ -114,6 +126,12 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=40000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument(
+        "--docs-stage", default="parquet",
+        choices=["parquet", "localcheckpoint"],
+        help="docs-checkpoint strategy (see WORKER comments)",
+    )
+    ap.add_argument("--codec", default="snappy")
     args = ap.parse_args()
 
     shm = Path("/dev/shm")
@@ -143,7 +161,7 @@ def main() -> None:
         for _attempt in range(2):
             out = subprocess.run(
                 [sys.executable, str(worker_path), str(cpus), src,
-                 f"{tmp}/idx{cpus}"],
+                 f"{tmp}/idx{cpus}", args.docs_stage, args.codec],
                 check=True,
                 capture_output=True,
                 text=True,
@@ -165,15 +183,21 @@ def main() -> None:
     ratio = args.high / args.low
     build_eff = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / ratio
     query_eff = (hi["queries_per_sec"] / lo["queries_per_sec"]) / ratio
+    docs_eff = (lo["docs_stage_sec"] / hi["docs_stage_sec"]) / ratio
+    index_eff = (lo["index_stage_sec"] / hi["index_stage_sec"]) / ratio
     summary = {
         "low_cpus": args.low,
         "high_cpus": args.high,
         "n_docs": args.docs,
+        "docs_stage": args.docs_stage,
+        "codec": args.codec,
         "build_docs_per_sec": {
             str(args.low): lo["build_docs_per_sec"],
             str(args.high): hi["build_docs_per_sec"],
         },
         "build_scaling_efficiency": round(build_eff, 3),
+        "docs_stage_efficiency": round(docs_eff, 3),
+        "index_stage_efficiency": round(index_eff, 3),
         "queries_per_sec": {
             str(args.low): lo["queries_per_sec"],
             str(args.high): hi["queries_per_sec"],
@@ -197,6 +221,10 @@ def main() -> None:
             f"|---|---|---|---|\n"
             f"| index build docs/sec | {lo['build_docs_per_sec']} | "
             f"{hi['build_docs_per_sec']} | **{build_eff:.3f}** |\n"
+            f"| docs stage sec (strategy={args.docs_stage}, codec={args.codec}) "
+            f"| {lo['docs_stage_sec']} | {hi['docs_stage_sec']} | {docs_eff:.3f} |\n"
+            f"| index stage sec | {lo['index_stage_sec']} | "
+            f"{hi['index_stage_sec']} | {index_eff:.3f} |\n"
             f"| WAND queries/sec | {lo['queries_per_sec']} | "
             f"{hi['queries_per_sec']} | {query_eff:.3f} |\n"
         )
