@@ -172,6 +172,34 @@ def q_facet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 cover-doc + indexed book documents — reassign ids in
+    (source, id) order, emit a REAL book row after each source's chapter
+    block (``index_book_documents``, SAXIndexer.java:461-479), and
+    report per facet its cover docId (``FieldFacet.java:102-139``) and
+    chapter count. The oracle reproduces the interleaved id arithmetic
+    with window functions."""
+    from alix_spark import hierarchy as H
+    from alix_spark import ingest
+    from alix_spark.stats.facets import facet_covers
+
+    docs = load_documents(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "source", "lang", "text"
+    )
+    d = ingest.scalable_row_number(
+        docs, [F.asc("source"), F.asc("orig_id")], "doc_id"
+    )
+    h = H.with_hierarchy(d, book_col="source")
+    full = H.index_book_documents(h, text_col="text", title_col="lang")
+    covers = facet_covers(full, "book_id", cover_type=H.BOOK)
+    counts = (
+        full.filter(F.col("doc_type") != H.BOOK)
+        .groupBy(F.col("book_id").alias("facet"))
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"))
+    )
+    return covers.join(counts, "facet").orderBy("facet")
+
+
 def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 — top-50 adjacent bigrams."""
     c = _corpus(spark, sf_dir)
@@ -427,6 +455,23 @@ def q_paint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — every doc contrasted against doc 0 (shared vs specific
+    vocabulary hilite, ``Doc.java:354-439``), reported as per-doc html
+    length. Oracle: length(text) + 33 chars per token shared with doc
+    0's vocabulary + 30 per self-specific token (every token is in its
+    own doc's tf map, so all tokens get marked)."""
+    from alix_spark.render.paint import contrast_docs
+
+    docs = load_documents(spark, sf_dir)
+    token_table = _offsets_table(spark, sf_dir)
+    return (
+        contrast_docs(docs, token_table, other_doc_id=0)
+        .select("doc_id", F.length("html").cast("long").alias("html_len"))
+        .orderBy("doc_id")
+    )
+
+
 def _offsets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted offsets table ``(doc_id, pos, start, end, term)``
     for a corpus — the simple-chain analogue of the reference's term
@@ -660,6 +705,31 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup family, vector member — embedding-cosine near-dup pairs via
+    multi-table hyperplane-LSH candidates + exact cosine verify
+    (textops/similarity.cosine_dup_pairs). Near-dups are PLANTED
+    deterministically (ids +100000, components scaled by
+    1 + 0.01·(i mod 5)); the oracle is the exact all-pairs cosine join,
+    so a green row proves candidate recall 1.0 on this corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda x, i: x * (1.0 + 0.01 * (i % 5)),
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    return sim_mod.cosine_dup_pairs(allv, threshold=0.99).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity search — LSH-bucketed ANN around vec_id 0."""
     emb = load(spark, sf_dir, "embeddings")
@@ -690,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_source": q_facet_source,
         "facet_query": q_facet_query,
         "facet_rollup": q_facet_rollup,
+        "facet_cover": q_facet_cover,
         "bigrams": q_bigrams,
         "cooc_window": q_cooc_window,
         "dedup_exact": q_dedup_exact,
@@ -713,11 +784,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_g": q_rank_g,
         "rank_chi2inv": q_rank_chi2inv,
         "paint": q_paint,
+        "contrast": q_contrast,
         "more_like_this": q_more_like_this,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "ivf_knn": q_ivf_knn,
         "simhash_dups": q_simhash_dups,
+        "embedding_dups": q_embedding_dups,
         "lsh_knn": q_lsh_knn,
         "kwic": q_kwic,
         "kwic_tokens": q_kwic_tokens,
@@ -853,6 +926,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP(d.lang, d.source)
             HAVING d.lang IS NOT NULL
         """,
+        "facet_cover": """
+            -- reproduce the interleaved chapters…book id layout: ids
+            -- reassigned in (source, orig_id) order, every chapter
+            -- shifts by the number of completed book blocks before it,
+            -- the book (cover) row takes the id right after its block
+            WITH ranked AS (
+              SELECT source,
+                     row_number() OVER (ORDER BY source, doc_id) - 1 AS seq
+              FROM documents),
+            b AS (SELECT source, min(seq) AS fd, max(seq) AS ld,
+                         count(*) AS n
+                  FROM ranked GROUP BY source),
+            r AS (SELECT *, row_number() OVER (ORDER BY fd) - 1 AS rk
+                  FROM b)
+            SELECT source AS facet,
+                   CAST(ld + rk + 1 AS BIGINT) AS cover_doc,
+                   CAST(n AS BIGINT) AS docs
+            FROM r ORDER BY facet
+        """,
         "bigrams": f"""
             WITH {TOK_CTE}
             SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS n
@@ -961,6 +1053,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    ROUND(sum(value), 4) AS sum_value
             FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+        """,
+        "embedding_dups": """
+            -- planted near-dups (same construction as the Spark side),
+            -- then the EXACT all-pairs cosine join: comparing against
+            -- the LSH-candidate path proves its recall on this corpus
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                          FROM embeddings),
+            planted AS (SELECT vec_id + 100000 AS vec_id,
+                               list_transform(
+                                 list_zip(e, range(1, len(e) + 1)),
+                                 p -> p[1] * (1 + 0.01 * (p[2] % 5))) AS e
+                        FROM base WHERE vec_id < 50),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_dot_product(a.e, b.e)
+                           / (sqrt(list_dot_product(a.e, a.e))
+                              * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+              FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos FROM pairs
+            WHERE cos >= 0.99 ORDER BY id_a, id_b
         """,
         "knn_brute": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e
@@ -1572,6 +1685,27 @@ def oracle_sql() -> dict[str, str]:
                      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> x <> '')) AS BIGINT) AS html_len
             FROM documents ORDER BY doc_id
+        """,
+        "contrast": f"""
+            -- html = text with every token marked: shared-with-doc-0
+            -- tokens wrap in <mark class="shared lvlN">…</mark> (33
+            -- chars, N single digit), self-specific ones in
+            -- <mark class="specific">…</mark> (30 chars)
+            WITH {TOK_CTE},
+            v0 AS (SELECT DISTINCT term FROM tok WHERE doc_id = 0),
+            cnt AS (SELECT t.doc_id,
+                           count(*) AS n_tokens,
+                           sum(CASE WHEN v0.term IS NOT NULL
+                               THEN 1 ELSE 0 END) AS n_shared
+                    FROM tok t LEFT JOIN v0 ON t.term = v0.term
+                    GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   CAST(length(d.text) + 33 * COALESCE(c.n_shared, 0)
+                        + 30 * (COALESCE(c.n_tokens, 0)
+                                - COALESCE(c.n_shared, 0)) AS BIGINT)
+                     AS html_len
+            FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+            ORDER BY d.doc_id
         """,
         "fr_analysis": """
             -- literal expected table: the French chain (tokenize →

@@ -37,6 +37,24 @@ def facet_stats(
     )
 
 
+def facet_covers(
+    docs_typed: DataFrame,
+    facet_col: str = "book_id",
+    cover_type: str = "book",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, cover_doc) — the reference tracks an optional "cover"
+    docId per facet value, the document that REPRESENTS the value (e.g.
+    the book document covering its chapters), selected by a cover query
+    on doc type (``FieldFacet.java:102-139``). First (lowest-id) cover
+    wins when several match, as in the reference's first-writer array."""
+    return (
+        docs_typed.filter(F.col("doc_type") == cover_type)
+        .groupBy(F.col(facet_col).alias("facet"))
+        .agg(F.min(id_col).cast("long").alias("cover_doc"))
+    )
+
+
 def facet_query_stats(
     docs: DataFrame,
     postings: DataFrame,

@@ -10,13 +10,31 @@ from pyspark.sql import functions as F
 
 from alix_spark.analysis.simple import tokens_array
 
-# tiny per-language stopword marker sets for the n-gram/stopword heuristic
-# language identifier. Public knowledge (most frequent function words).
+# Per-language stopword marker sets for the stopword-vote language
+# identifier. Public knowledge (most frequent function words), restricted
+# to pure-ASCII forms because the simple tokenizer splits on non-[a-z0-9]
+# (an accented marker would never match a token). 16 Latin-script
+# languages; closely related pairs (da/no, es/pt) disambiguate on their
+# distinctive function words, remaining ties break to the alphabetically
+# first code — a deterministic heuristic, not a fastText replacement
+# (non-Latin scripts tokenize to nothing here and fall to the tie rule).
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
     "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
     "es": ["el", "la", "los", "de", "que", "y", "es", "en", "un", "por"],
+    "it": ["il", "di", "che", "la", "per", "con", "del", "una", "sono", "non"],
+    "pt": ["de", "que", "em", "para", "com", "uma", "os", "dos", "das", "pelo"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "met", "voor", "zijn"],
+    "sv": ["och", "att", "det", "som", "en", "av", "den", "med", "har", "inte"],
+    "da": ["og", "det", "at", "en", "den", "til", "er", "som", "med", "ikke"],
+    "no": ["og", "det", "som", "en", "av", "til", "med", "har", "ikke", "skal"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "dari", "ini", "akan"],
+    "pl": ["nie", "jest", "to", "na", "w", "z", "do", "czy", "ale", "co"],
+    "ro": ["si", "de", "la", "cu", "pentru", "este", "care", "din", "nu", "mai"],
+    "fi": ["ja", "on", "ei", "mutta", "kun", "niin", "se", "joka", "ovat", "ole"],
+    "tr": ["ve", "bir", "bu", "da", "de", "ne", "ama", "gibi", "daha", "sonra"],
+    "la": ["et", "in", "est", "non", "ad", "cum", "sed", "ut", "quod", "qui"],
 }
 
 

@@ -137,3 +137,34 @@ def test_bucket_cap_guards_mega_buckets(spark):
     # uncapped still finds the boilerplate clique
     full = dedup_mod.minhash_lsh_pairs(sigs, bands=16, rows=4)
     assert full.filter((F.col("id_a") < 30) & (F.col("id_b") < 30)).count() > 0
+
+
+def test_cosine_dup_pairs_recall_and_bucket_cap(spark):
+    """Embedding-cosine near-dup mining: planted perturbed twins are all
+    recovered through the multi-table LSH candidate path (recall 1.0 vs
+    the construction), and the mega-bucket cap drops oversized buckets
+    instead of exploding quadratically."""
+    from alix_spark.textops.similarity import cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda x, i: x * (1.0 + 0.01 * (i % 5)),
+        ).alias("embedding"),
+    )
+    allv = emb.unionByName(planted)
+    pairs = cosine_dup_pairs(allv, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(i, i + 100000) for i in range(20)} <= got
+    for r in pairs:
+        assert r["cos"] >= 0.99
+    # cap guard: max_bucket_size=1 drops every shared bucket -> no pairs
+    capped = cosine_dup_pairs(
+        allv, threshold=0.99, max_bucket_size=1
+    ).count()
+    assert capped == 0
