@@ -1708,24 +1708,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "fr_analysis": """
-            -- literal expected table: the French chain (tokenize →
+            -- literal expected tables: the French chain (tokenize →
             -- lemmatize with the generated ~27k-form lexicon → locution
             -- folding) is deterministic, golden-tested in pytest, and
             -- not expressible in SQL — so the oracle freezes its output
-            -- on this corpus (e.g. 'date'→dater, 'value'→valoir, 'a'→
-            -- avoir are the French readings of those graphs)
-            SELECT * FROM (VALUES
-              ('join', CAST(964 AS BIGINT)), ('hash', 947), ('row', 943),
-              ('batch', 937), ('scan', 936), ('column', 934),
-              ('customer', 934), ('filter', 933), ('small', 928),
-              ('merge', 918), ('slow', 918), ('order', 912),
-              ('vector', 912), ('line', 910), ('dater', 908),
-              ('table', 908), ('agg', 901), ('valoir', 897),
-              ('key', 896), ('stream', 888), ('window', 886),
-              ('avoir', 880), ('spark', 880), ('group', 878),
-              ('partir', 878), ('big', 876), ('sort', 872),
-              ('query', 871), ('fast', 854), ('the', 840), ('dup', 26)
-            ) AS t(term, occs)
+            -- per corpus (e.g. 'date'→dater, 'value'→valoir, 'a'→avoir
+            -- are the French readings of those graphs), keyed by the
+            -- corpus checksum sum(n_chars) (sf0.01 = 149174,
+            -- sf0.001 = 153156 — both have 500 docs)
+            WITH chk AS (SELECT sum(n_chars) AS s FROM documents),
+            exp AS (
+              SELECT * FROM (VALUES
+                ('join', CAST(964 AS BIGINT)), ('hash', 947),
+                ('row', 943), ('batch', 937), ('scan', 936),
+                ('column', 934), ('customer', 934), ('filter', 933),
+                ('small', 928), ('merge', 918), ('slow', 918),
+                ('order', 912), ('vector', 912), ('line', 910),
+                ('dater', 908), ('table', 908), ('agg', 901),
+                ('valoir', 897), ('key', 896), ('stream', 888),
+                ('window', 886), ('avoir', 880), ('spark', 880),
+                ('group', 878), ('partir', 878), ('big', 876),
+                ('sort', 872), ('query', 871), ('fast', 854),
+                ('the', 840), ('dup', 26)
+              ) AS t(term, occs)
+              WHERE (SELECT s FROM chk) = 149174
+              UNION ALL
+              SELECT * FROM (VALUES
+                ('scan', CAST(984 AS BIGINT)), ('column', 978),
+                ('window', 976), ('order', 975), ('sort', 974),
+                ('partir', 963), ('agg', 953), ('valoir', 950),
+                ('line', 946), ('key', 945), ('join', 936),
+                ('merge', 935), ('group', 934), ('query', 934),
+                ('avoir', 931), ('vector', 931), ('hash', 923),
+                ('slow', 921), ('stream', 919), ('filter', 917),
+                ('fast', 913), ('batch', 910), ('spark', 910),
+                ('the', 910), ('table', 903), ('small', 898),
+                ('dater', 896), ('big', 890), ('customer', 889),
+                ('row', 866), ('dup', 29)
+              ) AS t(term, occs)
+              WHERE (SELECT s FROM chk) = 153156
+            )
+            SELECT term, occs FROM exp
             ORDER BY occs DESC, term ASC
         """,
         # lsh_knn: hash-bucket-approximate ANN — driver records a
