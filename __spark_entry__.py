@@ -455,6 +455,45 @@ def q_paint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hilite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — hilite every pivot occurrence (``<mark id=N>`` inserts,
+    Doc.java:493-542) over the persisted offsets table, reported as
+    per-doc html length. Oracle: per doc with n matches the overhead is
+    Σ_{i<n} (20 + digits(i)) — the id attribute grows with the
+    within-doc match ordinal."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from alix_spark.render.kwic import hilite
+
+    docs = load_documents(spark, sf_dir)
+    offs = _offsets_table(spark, sf_dir).filter(F.col("term") == PIVOT)
+    d = docs.select("doc_id", F.col("text").alias("_text"))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("html_len", LongType())]
+    )
+
+    def run(key, ddf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
+        if ddf.empty:
+            return pd.DataFrame({"doc_id": [], "html_len": []}).astype(
+                {"doc_id": "int64", "html_len": "int64"}
+            )
+        text = ddf["_text"].iloc[0]
+        html = hilite(text, list(zip(mdf["start"], mdf["end"])))
+        return pd.DataFrame(
+            [(int(ddf["doc_id"].iloc[0]), len(html))],
+            columns=["doc_id", "html_len"],
+        )
+
+    return (
+        d.groupby("doc_id")
+        .cogroup(offs.select("doc_id", "start", "end").groupby("doc_id"))
+        .applyInPandas(run, schema)
+        .orderBy("doc_id")
+    )
+
+
 def q_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 — every doc contrasted against doc 0 (shared vs specific
     vocabulary hilite, ``Doc.java:354-439``), reported as per-doc html
@@ -784,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_g": q_rank_g,
         "rank_chi2inv": q_rank_chi2inv,
         "paint": q_paint,
+        "hilite": q_hilite,
         "contrast": q_contrast,
         "more_like_this": q_more_like_this,
         "minhash_pairs": q_minhash_pairs,
@@ -1686,6 +1726,20 @@ def oracle_sql() -> dict[str, str]:
                      x -> x <> '')) AS BIGINT) AS html_len
             FROM documents ORDER BY doc_id
         """,
+        "hilite": """
+            -- html = text + per-match '<mark id="i">…</mark>' inserts:
+            -- 19 chars + the digits of the within-doc match ordinal i
+            WITH {TOK_CTE},
+            m AS (SELECT doc_id, count(*) AS n FROM tok
+                  WHERE term = '{PIVOT}' GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(length(d.text) + COALESCE(list_sum(
+                     list_transform(range(0, m.n),
+                                    i -> 19 + length(CAST(i AS VARCHAR)))),
+                     0) AS BIGINT) AS html_len
+            FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+            ORDER BY d.doc_id
+        """.format(TOK_CTE=TOK_CTE, PIVOT=PIVOT),
         "contrast": f"""
             -- html = text with every token marked: shared-with-doc-0
             -- tokens wrap in <mark class="shared lvlN">…</mark> (33
