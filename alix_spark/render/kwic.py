@@ -101,6 +101,11 @@ def kwic(
         "doc_id", "start", "end"
     )
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    # only docs that actually contain a match enter the cogroup: a KWIC
+    # request must not shuffle the whole corpus' text — the semi-join
+    # keeps the doc-side proportional to the hit set (at 100 TB the
+    # difference between a concordance and a full-corpus pass)
+    d = d.join(matches.select("doc_id").distinct(), "doc_id", "left_semi")
 
     def run(key, ddf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
         rows = []

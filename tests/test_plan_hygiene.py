@@ -132,19 +132,22 @@ def test_render_served_from_persisted_offsets(spark, tmp_path):
         str(tmp_path / "offsets")
     )
     offsets = spark.read.parquet(str(tmp_path / "offsets"))
-    for df in (
-        kwic(docs, offsets, ["fast"], context=30),
-        paint_docs(docs, offsets),
+    for df, n_scans in (
+        # kwic scans offsets twice (semi-join hit set + match rows)
+        (kwic(docs, offsets, ["fast"], context=30), 3),
+        (paint_docs(docs, offsets), 2),
     ):
         p = plan_of(df)
         # the cogrouped render kernel is FlatMapCoGroupsInPandas; a
         # MapInPandas node would mean the corpus is being re-tokenized
         assert "MapInPandas" not in p
-        # docs + offsets and no third scan ("formatted" prints each scan
-        # twice: once in the tree, once in the detail section)
-        assert p.count("Scan parquet") == 4
+        # "formatted" prints each scan twice: tree + detail section
+        assert p.count("Scan parquet") == 2 * n_scans
         for bad in FORBIDDEN:
             assert bad not in p
-    # kwic's term filter reaches the offsets scan
+    # kwic: term filter reaches the offsets scan, and the doc-side text
+    # shuffle is gated by a semi join on the hit set — a concordance
+    # request must not cogroup the whole corpus
     p = plan_of(kwic(docs, offsets, ["fast"], context=30))
     assert "In(term, [fast])" in p or "EqualTo(term,fast)" in p
+    assert "LeftSemi" in p
