@@ -77,13 +77,19 @@ def index_book_documents(
     """
     from alix_spark.ingest import scalable_row_number
 
+    # front matter is BOUNDED (first 256 titles): collect_list over an
+    # unbounded chapter count would build an arbitrarily large book row
+    # at 100 TB — the reference's book text is the title page, not the
+    # full table of contents
     books = docs.groupBy("book_id").agg(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
         F.concat_ws(
             " ",
             F.first("book_id"),
-            F.array_join(F.sort_array(F.collect_list(title_col)), " "),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list(title_col)), 1, 256), " "
+            ),
         ).alias("_book_text"),
     )
     books = scalable_row_number(

@@ -102,6 +102,11 @@ class StreamingIndexer:
         with the right schemas before the first publish. Each table is a
         single multi-path parquet scan over exactly the file groups its
         manifest references — no version-copy is ever materialized."""
+        # NOTE on manifest size: one JSON entry per (table, segment).
+        # At 8192-doc segments, even 10^10 docs is ~1.2M entries/table
+        # (~100 MB JSON) — readable, but beyond that the manifest itself
+        # should shard (a manifest-list level, as Iceberg does); the
+        # read path below (multi-path parquet scan) is unchanged by that.
         man = self.read_manifest()
         out = []
         schemas = {
