@@ -160,16 +160,23 @@ class StreamingIndexer:
                 written[d.name.split("=", 1)[1]] = f"{rel}/{d.name}"
         return written
 
+    def current_seg_size(self) -> int:
+        """The CURRENT version's segment granularity — compaction doubles
+        it, so it is version metadata, not indexer construction state."""
+        man = self.read_manifest()
+        return int(man.get("seg_size", self.seg_size))
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        seg_size = self.current_seg_size()
         docs, segs, norms = self.load_tables()
         docs_new, segs_new, norms_new, affected = incremental_update(
             docs,
             segs,
             norms,
             batch_df,
-            seg_size=self.seg_size,
+            seg_size=seg_size,
             n_buckets=self.n_buckets,
             text_col=self.text_col,
         )
@@ -179,8 +186,8 @@ class StreamingIndexer:
             # pure no-op batch (e.g. re-delivered identical rows): nothing
             # to write, nothing to publish
             return
-        doc_seg = (F.col("doc_id") / self.seg_size).cast("long")
-        doc_pred = seg_range_pred(affected, self.seg_size)
+        doc_seg = (F.col("doc_id") / seg_size).cast("long")
+        doc_pred = seg_range_pred(affected, seg_size)
         seg_pred = F.col("seg_id").isin(affected)
         new_tables = {}
         for table, df, seg_col, pre in (
@@ -200,7 +207,7 @@ class StreamingIndexer:
             new_tables[table] = carried
         self._manifest_path(v).write_text(
             json.dumps(
-                {"version": v, "seg_size": self.seg_size, "tables": new_tables}
+                {"version": v, "seg_size": seg_size, "tables": new_tables}
             )
         )
         # publish only after every file group committed (_SUCCESS
@@ -208,6 +215,62 @@ class StreamingIndexer:
         # version, whose file groups GC never touches
         self._publish(v)
         self.gc()
+
+    # -- compaction (Lucene background merges, S6 in the streaming path) -
+    def compact(self, group: int = 2) -> int:
+        """One tree-merge round over the live index: coalesce ``group``
+        adjacent segments (``segments.merge_segments`` — bit-identical
+        to a direct build at the coarser granularity), DOUBLING the
+        version's seg_size so subsequent micro-batches keep their
+        O(touched) arithmetic at the new granularity.
+
+        Like Lucene's background merges (``Alix.java:352-386`` writer
+        config) and Iceberg's rewrite_data_files, compaction is a rare,
+        full-rewrite maintenance action: every table (docs included —
+        their file groups re-key to the new seg ids) is written as a
+        fresh version; readers swap atomically and GC reclaims the old
+        generations. Returns the new version number.
+        """
+        from alix_spark.index import segments as seg_mod_
+
+        seg_size = self.current_seg_size()
+        docs, segs, norms = self.load_tables()
+        m_segs, m_norms = seg_mod_.merge_segments(segs, norms, group=group)
+        new_size = seg_size * group
+        v = self.current_version() + 1
+        doc_seg = (F.col("doc_id") / new_size).cast("long")
+        # cover BOTH sources of seg ids: a doc range with documents but
+        # no postings (all-empty texts) has no merged segment row, yet
+        # its docs must stay in the manifest
+        all_segs = sorted(
+            {
+                int(r["s"])
+                for r in m_segs.select(F.col("seg_id").alias("s"))
+                .distinct()
+                .collect()
+            }
+            | {
+                int(r["s"])
+                for r in docs.select(doc_seg.alias("s")).distinct().collect()
+            }
+        )
+        new_tables = {}
+        for table, df, seg_col in (
+            ("docs", docs, doc_seg),
+            ("segments", m_segs, F.col("seg_id")),
+            ("norms", m_norms, F.col("seg_id")),
+        ):
+            new_tables[table] = self._write_affected(
+                df, table, seg_col, v, all_segs
+            )
+        self._manifest_path(v).write_text(
+            json.dumps(
+                {"version": v, "seg_size": new_size, "tables": new_tables}
+            )
+        )
+        self._publish(v)
+        self.gc()
+        return v
 
     # -- retention -------------------------------------------------------
     def gc(self) -> list[str]:

@@ -298,3 +298,102 @@ def test_manifested_index_query_identity(manifested):
         assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp], q
         for g, e in zip(got, exp):
             assert math.isclose(g["score"], e["score"], rel_tol=1e-6)
+
+
+def test_compaction_and_post_compact_batches(spark, tmp_path):
+    """compact() = one tree-merge round over the live index (Lucene
+    background merges in the streaming path): seg_size doubles in the
+    manifest, query results are identical, and the NEXT micro-batch
+    still writes only touched (now coarser) segments."""
+    from alix_spark.analysis import simple
+    from alix_spark.index import build as ib
+    from alix_spark.search import bm25 as bm25_mod
+    from alix_spark.search import wand as wand_mod
+
+    ix = StreamingIndexer(
+        spark, str(tmp_path / "cidx"), seg_size=8, retain_versions=2
+    )
+    b1 = _rows(
+        spark,
+        [
+            (f"org/r{i % 3}", f"src/f{i}.py", "c1", "py",
+             f"alpha beta tok{i} delta")
+            for i in range(48)
+        ],
+    )
+    ix.process_batch(b1, 0)
+    assert ix.current_seg_size() == 8
+    v = ix.compact(group=2)
+    assert ix.current_version() == v and ix.current_seg_size() == 16
+    docs, segs, norms = ix.load_tables()
+    assert segs.select("seg_id").distinct().count() == 3  # 48/16
+    # post-compaction batch: update doc in (new) seg 0 + inserts at tail
+    b2 = _rows(
+        spark,
+        [("org/r0", "src/f0.py", "c2", "py", "updated zeta")]
+        + [("zzz/new", f"src/n{i}.py", "c2", "py", "fresh theta")
+           for i in range(2)],
+    )
+    ix.process_batch(b2, 1)
+    man = ix.read_manifest()
+    assert man["seg_size"] == 16
+    gen = f"data/gen={ix.current_version()}"
+    touched = sorted(
+        int(s) for s, p in man["tables"]["segments"].items() if gen in p
+    )
+    assert touched == [0, 3]  # update in seg 0; inserts 48-49 -> seg 3
+    # untouched compacted segments carried by reference
+    comp_gen = f"data/gen={v}"
+    assert all(
+        comp_gen in man["tables"]["segments"][str(s)] for s in (1, 2)
+    )
+    # query identity vs a fresh build over the merged docs
+    docs, segs, norms = ix.load_tables()
+    tokens = simple.tokenize(docs, "doc_id", "content")
+    postings = ib.build_postings(tokens).cache()
+    doc_lens = ib.build_doc_lens(tokens)
+    n, avgdl = bm25_mod.corpus_stats(doc_lens)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    for q in ["updated zeta", "fresh theta", "alpha delta"]:
+        got = wand_mod.wand_topk(
+            segs, norms, q.split(), dfs, n, avgdl, k=10
+        ).collect()
+        exp = bm25_mod.bm25_topk(
+            postings, doc_lens, q.split(), k=10, lucene=True,
+            n_docs=n, avgdl=avgdl,
+        ).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp], q
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e["score"], rel_tol=1e-6)
+
+
+def test_crash_before_publish_leaves_current_good(spark, tmp_path):
+    """A crash between file-group writes and the pointer swap leaves
+    CURRENT on the previous good version; the next successful batch
+    reuses the version number and readers never see the orphan."""
+    ix = StreamingIndexer(spark, str(tmp_path / "kidx"), seg_size=8)
+    ix.process_batch(
+        _rows(spark, [("o/r", f"f{i}", "c1", "py", f"alpha tok{i}")
+                      for i in range(10)]), 0)
+    assert ix.current_version() == 1
+    orig_publish = ix._publish
+    ix._publish = lambda v: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError):
+        ix.process_batch(
+            _rows(spark, [("o/r", "f0", "c2", "py", "updated beta")]), 1)
+    ix._publish = orig_publish
+    # reader still sees the good v1 (no 'updated' content)
+    assert ix.current_version() == 1
+    docs, _, _ = ix.load_tables()
+    assert docs.filter(F.col("content").contains("updated")).count() == 0
+    # next batch succeeds, overwriting the orphan gen=2 files
+    ix.process_batch(
+        _rows(spark, [("o/r", "f0", "c3", "py", "updated gamma")]), 2)
+    assert ix.current_version() == 2
+    docs, _, _ = ix.load_tables()
+    assert docs.filter(F.col("content").contains("gamma")).count() == 1
