@@ -33,6 +33,40 @@ class IndexReader:
         self.forms = spark.read.parquet(f"{index_dir}/forms")
         self.docs = spark.read.parquet(f"{index_dir}/docs")
 
+    @classmethod
+    def open_streaming(
+        cls, spark: SparkSession, index_dir: str
+    ) -> "IndexReader":
+        """Open the CURRENT version of a streaming (manifest-versioned)
+        index — the same query surface over a live
+        :class:`alix_spark.streaming.StreamingIndexer` directory. The
+        snapshot is pinned at open time (the manifest's file groups are
+        immutable), so a long-running reader is unaffected by later
+        publishes — the reference's lazy ``Alix.reader()`` singleton
+        semantics (``Alix.java:298-344``) without any lock.
+        """
+        from alix_spark.index import segments as seg_mod
+        from alix_spark.streaming import StreamingIndexer
+
+        ix = StreamingIndexer(spark, index_dir)
+        docs, segments, norms = ix.load_tables()
+        self = cls.__new__(cls)
+        self.spark = spark
+        self.index_dir = index_dir
+        self.segments = segments
+        self.norms = norms.cache()
+        self.docs = docs
+        self.forms = seg_mod.forms_from_segments(segments)
+        n, avgdl = seg_mod.corpus_stats_from_norms(self.norms)
+        self.n_docs = int(n)
+        self.avgdl = float(avgdl)
+        self.n_buckets = ix.n_buckets
+        self.meta = {
+            "version": ix.current_version(),
+            "seg_size_final": ix.current_seg_size(),
+        }
+        return self
+
     def dfs_for(self, terms: list[str]) -> dict[str, int]:
         uniq = sorted(set(terms))
         return {

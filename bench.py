@@ -75,6 +75,17 @@ def main() -> None:
     timed("index_build", build_index)
     docs_per_sec = round(n_docs / timings["index_build"], 1)
 
+    # offsets table (render-serving term vectors with offsets — a
+    # build_index.py stage since r3; map-only Arrow kernel + write)
+    from alix_spark.analysis.simple import token_offsets
+
+    timed(
+        "offsets_build",
+        lambda: token_offsets(docs, "doc_id", "text")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/offsets"),
+    )
+
     # compressed-segment build (single-shuffle direct path) + WAND batch
     from alix_spark.index import segments as seg_mod
     from alix_spark.search import wand as wand_mod

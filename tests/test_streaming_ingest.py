@@ -397,3 +397,24 @@ def test_crash_before_publish_leaves_current_good(spark, tmp_path):
     assert ix.current_version() == 2
     docs, _, _ = ix.load_tables()
     assert docs.filter(F.col("content").contains("gamma")).count() == 1
+
+
+def test_index_reader_opens_streaming_manifest(spark, tmp_path):
+    """IndexReader.open_streaming serves WAND queries straight off the
+    CURRENT manifest version — the batch reader's query surface over
+    the live streamed index, snapshot-pinned at open time."""
+    from alix_spark.index.reader import IndexReader
+
+    ix = StreamingIndexer(spark, str(tmp_path / "ridx"), seg_size=8)
+    ix.process_batch(
+        _rows(spark, [("o/r", f"f{i}", "c1", "py",
+                       f"alpha beta tok{i} fast join")
+                      for i in range(20)]), 0)
+    rd = IndexReader.open_streaming(spark, str(tmp_path / "ridx"))
+    assert rd.n_docs == 20 and rd.meta["version"] == 1
+    hits = rd.search("fast join", k=5).collect()
+    assert len(hits) == 5 and all(r["score"] > 0 for r in hits)
+    # snapshot pinning: a later publish doesn't disturb the open reader
+    ix.process_batch(
+        _rows(spark, [("o/r", "f0", "c2", "py", "rewritten entirely")]), 1)
+    assert rd.search("fast join", k=5).count() == 5
