@@ -140,3 +140,90 @@ def test_noop_update_returns_same_frames(spark, v1):
     )
     assert affected == []
     assert s2 is segs and n2 is norms
+
+
+def test_random_update_sequence_equals_full_rebuild(spark):
+    """Property: a seeded random SEQUENCE of merge batches (updates +
+    inserts + deletes, applied one after another through
+    incremental_update) yields an index whose WAND BM25 matches a
+    from-scratch DataFrame BM25 over the final docs — for every round."""
+    import random
+
+    from alix_spark.analysis import simple
+    from alix_spark.index import build as ib
+
+    rng = random.Random(1234)
+    src = ingest.synthesize_code_corpus(spark, 150, seed=11)
+    docs = ingest.assign_doc_ids(src).cache()
+    docs.count()
+    tokens = simple.tokenize(docs, "doc_id", "content")
+    segs, norms = seg_mod.split_single_pass(
+        seg_mod.build_single_pass(tokens, seg_size=32)
+    )
+    segs = segs.cache()
+    norms = norms.cache()
+
+    for round_no in range(3):
+        live = [r for r in docs.select("repo", "path").collect()]
+        upd_keys = rng.sample(live, 4)
+        del_keys = rng.sample([k for k in live if k not in upd_keys], 2)
+        upd = spark.createDataFrame(
+            [
+                (r["repo"], r["path"], f"c{round_no}", "py",
+                 f"updated r{round_no} fast merge tok{rng.randrange(50)}")
+                for r in upd_keys
+            ],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        ins = spark.createDataFrame(
+            [
+                (f"new/r{round_no}", f"f{i}.py", "c", "py",
+                 f"fresh r{round_no} join tok{rng.randrange(50)}")
+                for i in range(3)
+            ],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        deleted = spark.createDataFrame(
+            [(r["repo"], r["path"]) for r in del_keys],
+            "repo string, path string",
+        )
+        docs, segs, norms, affected = incremental_update(
+            docs, segs, norms, upd.unionByName(ins),
+            seg_size=32, deleted=deleted,
+        )
+        # localCheckpoint, not cache: lineage grows exponentially across
+        # rounds and OOMs the PLANNER (explain tree-string) long before
+        # the data does
+        docs = docs.localCheckpoint()
+        segs = segs.localCheckpoint()
+        norms = norms.localCheckpoint()
+        assert affected  # every round touches something
+
+        toks = simple.tokenize(docs, "doc_id", "content")
+        postings = ib.build_postings(toks).cache()
+        doc_lens = ib.build_doc_lens(toks)
+        n, avgdl = bm25_mod.corpus_stats(doc_lens)
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        }
+        for q in [f"updated r{round_no}", "fast merge", "fresh join"]:
+            got = wand_mod.wand_topk(
+                segs, norms, q.split(), dfs, n, avgdl, k=10
+            ).collect()
+            exp = bm25_mod.bm25_topk(
+                postings, doc_lens, q.split(), k=10, lucene=True,
+                n_docs=n, avgdl=avgdl,
+            ).collect()
+            assert [r["doc_id"] for r in got] == [
+                r["doc_id"] for r in exp
+            ], (round_no, q)
+            for g, e in zip(got, exp):
+                assert math.isclose(g["score"], e["score"], rel_tol=1e-6)
+        # deleted keys are gone, inserted present
+        assert (
+            docs.join(deleted, ["repo", "path"], "inner").count() == 0
+        )
+        assert docs.filter(F.col("repo") == f"new/r{round_no}").count() == 3
