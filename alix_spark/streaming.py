@@ -63,6 +63,7 @@ class StreamingIndexer:
         n_buckets: int = seg_mod.DEFAULT_BUCKETS,
         text_col: str = "content",
         retain_versions: int = 3,
+        clear_cache_after_batch: bool = True,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -70,6 +71,15 @@ class StreamingIndexer:
         self.n_buckets = n_buckets
         self.text_col = text_col
         self.retain_versions = retain_versions
+        # id assignment persists its range-shuffled partitions so both
+        # consumers of a batch (docs write + segment rebuild) see ONE
+        # boundary draw; once the version is published those cached
+        # partitions are dead weight, and a long-running stream would
+        # accumulate one per micro-batch — so the batch callback clears
+        # the session cache after publish by default. Disable only when
+        # sharing the session with other cached workloads (the leak is
+        # small and LRU-evicted, a correctness non-issue).
+        self.clear_cache_after_batch = clear_cache_after_batch
         Path(index_dir).mkdir(parents=True, exist_ok=True)
 
     # -- version pointer (the Load.java atomic-swap analogue) ----------
@@ -215,6 +225,8 @@ class StreamingIndexer:
         # version, whose file groups GC never touches
         self._publish(v)
         self.gc()
+        if self.clear_cache_after_batch:
+            self.spark.catalog.clearCache()
 
     # -- compaction (Lucene background merges, S6 in the streaming path) -
     def compact(self, group: int = 2) -> int:
