@@ -599,7 +599,7 @@ def q_kwic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fr_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-T7 — the French analysis chain over the corpus: indexed-term
     frequencies through the full tokenize→lemmatize→compound pipeline,
-    running with the FULL generated lexicon (~27k inflected forms,
+    running with the FULL generated lexicon (~33k inflected forms,
     alix_spark/analysis/fr_lexicon.py) broadcast to executors — the
     FrDics.java:82-83 scale path; rows-only check (semantics
     golden-tested in tests/test_french_analysis + test_fr_lexicon)."""
@@ -1763,7 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fr_analysis": """
             -- literal expected tables: the French chain (tokenize →
-            -- lemmatize with the generated ~27k-form lexicon → locution
+            -- lemmatize with the generated ~33k-form lexicon → locution
             -- folding) is deterministic, golden-tested in pytest, and
             -- not expressible in SQL — so the oracle freezes its output
             -- per corpus (e.g. 'date'→dater, 'value'→valoir, 'a'→avoir

@@ -12,8 +12,8 @@ derivation). Everything here is textbook French morphology; no external
 resource is copied.
 
 Output shape matches ``fr_dicts.WORDS`` / ``load_lexicon_csv``:
-``graph → (tag, orth, lemma)``. ~25-30k distinct inflected forms from
-~1,400 lemmas — enough that ``fr_analysis`` on real French text
+``graph → (tag, orth, lemma)``. ~33k distinct inflected forms from
+~1,800 lemmas — enough that ``fr_analysis`` on real French text
 lemmatizes the overwhelming majority of plain-vocabulary tokens, while
 the compact ``fr_dicts.WORDS`` (function words, locutions, names) keeps
 priority at merge time in consumers.
@@ -24,7 +24,7 @@ from __future__ import annotations
 from alix_spark.analysis import fr_dicts as D
 
 # --------------------------------------------------------------------- #
-# lemma inventories (curated common vocabulary — ~1,400 lemmas)
+# lemma inventories (curated common vocabulary — ~1,800 lemmas)
 # --------------------------------------------------------------------- #
 
 # 1st group (-er) regular verbs, incl. -ger/-cer/-yer spelling families
@@ -128,6 +128,39 @@ porter0 apporter emporter exporter0 importer0 rapporter reporter
 supporter transporter déporter colporter
 rater mater dater mandater constater dilater éclater relater flatter0
 tâter
+signer désigner assigner résigner aligner souligner témoigner soigner
+éloigner gagner0 régner saigner baigner peigner enseigner renseigner
+accompagner épargner gratter0 quitter0 agiter0
+tomber0 plomber bomber succomber incomber
+chercher0 marcher0 toucher0 coucher accoucher boucher déboucher
+mâcher cracher arracher attacher détacher cacher fâcher gâcher lâcher
+pencher trancher brancher débrancher étancher
+pêcher empêcher dépêcher prêcher lécher
+piocher approcher reprocher accrocher décrocher toucher1
+brûler calculer0 reculer circuler articuler basculer bousculer
+accumuler stimuler simuler dissimuler formuler
+régaler installer0 caler décaler intercaler signaler avaler dévaler
+gonfler dégonfler souffler siffler gifler ronfler renifler
+parler0 hurler brûler0 défiler filer enfiler profiler
+voler survoler dévoler envoler frôler rigoler racoler
+couler écouler rouler dérouler enrouler refouler
+peupler dépeupler accoupler coupler
+sauver laver délaver relaver graver aggraver
+rêver0 abreuver éprouver prouver approuver
+trouver0 retrouver
+creuser0 épouser exploser imploser déposer0 entreposer
+poser0 pauser0 causer1
+durer endurer perdurer murer emmurer assurer rassurer mesurer
+censurer fissurer saturer facturer fracturer capturer torturer
+clôturer figurer défigurer
+tirer0 étirer retirer soupirer expirer inspirer respirer transpirer
+admirer mirer virer revirer chavirer
+adorer0 colorer décolorer odorer perforer
+honorer déshonorer majorer
+pleurer0 effleurer affleurer demeurer
+jurer injurier0 abjurer conjurer
+errer serrer desserrer enterrer atterrer ferrer
+tacher tâcher0 faucher chevaucher embaucher débaucher
 """.split()
 
 # 2nd group (-ir, finir type: -issons)
@@ -408,6 +441,39 @@ oreiller savon serviette brosse peigne rasoir parfum
 cuisine0 four fourneau casserole poêle assiette bol verre0 tasse
 couteau fourchette cuillère plateau nappe bouteille bouchon panier
 boîte sac0 paquet caisse tonneau seau bassine éponge balai
+pays0 frontière région province département commune quartier
+banlieue capitale port île péninsule continent désert plaine
+plateau0 falaise grotte source0 ruisseau torrent cascade étang marais
+côte0 rivage golfe baie cap détroit canal écluse barrage digue
+neige0 gel givre brouillard brume rosée averse grêle tempête ouragan
+tornade canicule sécheresse inondation avalanche séisme éruption
+oiseau0 hirondelle rossignol alouette mésange merle grive perdrix
+faisan caille héron cigogne mouette goéland albatros pingouin autruche
+perroquet perruche hibou chouette vautour faucon épervier
+insecte0 guêpe frelon bourdon libellule sauterelle criquet cigale
+scarabée coccinelle chenille cocon ruche essaim fourmilière
+arbre0 chêne hêtre frêne orme bouleau peuplier saule tilleul érable
+platane marronnier sapin pin cèdre cyprès olivier figuier pommier
+poirier cerisier prunier amandier noyer châtaignier vignoble verger
+racine0 tronc écorce branche0 rameau bourgeon pétale tige épine
+mousse fougère roseau jonc lierre ronce buisson haie taillis clairière
+outil0 pince tenaille lime râpe rabot ciseau perceuse tournevis
+échelle échafaudage brouette truelle pioche hache faux faucille fléau
+charrue herse semoir moulin meule pressoir forge enclume soufflet
+métier0 tisserand forgeron menuisier charpentier maçon plombier
+électricien boulanger boucher0 épicier pharmacien libraire horloger
+cordonnier tailleur couturier coiffeur jardinier berger vacher
+pêcheur chasseur bûcheron mineur marin matelot capitaine pilote
+facteur douanier pompier policier gendarme notaire greffier huissier
+corps0 squelette crâne mâchoire vertèbre côte1 bassin fémur tibia
+cheville orteil talon paume poignet coude aisselle nuque tempe
+sourcil cil paupière narine lèvre langue0 dent gencive palais0 gorge
+poumon foie rein estomac intestin vessie artère veine nerf tendon
+meuble canapé fauteuil tabouret banc commode buffet vaisselier
+secrétaire0 pupitre berceau hamac paillasse matelas sommier traversin
+édredon housse taie tenture store volet persienne gouttière cheminée
+poutre plafond plancher carrelage parquet moquette papier-peint0
+lustre applique bougie chandelier lanterne torche flambeau
 """.split()
 
 # adjectives (feminine + plurals generated by rule)
@@ -450,6 +516,22 @@ délicieux savoureux amer acide sucré salé épicé fade
 agréable désagréable charmant séduisant élégant gracieux vulgaire
 magnifique splendide superbe merveilleux horrible affreux terrible
 effroyable épouvantable admirable remarquable formidable
+solide fragile robuste résistant souple rigide flexible élastique
+tendu détendu serré desserré noué dénoué tordu droit0
+pointu tranchant émoussé aigu obtus arrondi anguleux
+transparent opaque translucide limpide trouble0 clair0
+bruyant silencieux sonore assourdissant mélodieux discordant
+parfumé odorant inodore puant nauséabond
+soyeux rêche doux0 velouté pelucheux
+lumineux éclatant étincelant scintillant terne mat brillant0
+humide0 trempé détrempé imbibé desséché aride
+fertile stérile fécond infertile cultivé inculte sauvage domestique
+apprivoisé farouche craintif hardi téméraire audacieux intrépide
+peureux froussard courageux0 vaillant héroïque
+généreux avare économe dépensier prodigue cupide désintéressé
+modeste vaniteux orgueilleux prétentieux humble arrogant insolent
+respectueux irrespectueux obéissant désobéissant docile rebelle
+soumis indompté
 """.split()
 
 # standalone adverbs (on top of the -ment derivation)

@@ -43,7 +43,7 @@ def fr_sort_key(s: str) -> str:
     by NUL separators, golden-tested against ``java.text.Collator``
     FRANCE/TERTIARY/CANONICAL (the exact collator of
     ``FormEnum.java:363-388``) via ``tools/lucene_oracle/
-    FrCollatorOracle.java`` — EXACT order parity on the full ~27k-word
+    FrCollatorOracle.java`` — EXACT order parity on the full ~33k-word
     generated lexicon (tests/test_fr_collation_golden.py):
 
     * primary   — base letters, canonical decomposition, casefolded,

@@ -5,7 +5,7 @@ strength, canonical decomposition
 (``/root/reference/java/alix/lucene/search/FormEnum.java:363-388``).
 ``tools/lucene_oracle/FrCollatorOracle.java`` (compiled .class checked
 in) sorts a stdin vocabulary with that exact collator; these tests
-assert ``fr_sort_key`` reproduces its order on the full ~27k-word
+assert ``fr_sort_key`` reproduces its order on the full ~33k-word
 generated lexicon and document the one known divergence class
 (separator secondaries)."""
 
@@ -48,7 +48,7 @@ ACCENT_STRESS = [
 
 def test_full_lexicon_order_parity():
     """EXACT order parity with java.text.Collator FRANCE/TERTIARY on
-    every separator-free word of the generated lexicon (~27k) plus the
+    every separator-free word of the generated lexicon (~33k) plus the
     accent/case/ligature stress set."""
     vocab = sorted(
         w

@@ -3,7 +3,7 @@ inflected forms, CSV round-trip through the reference-shaped loader, and
 the analysis chain running end-to-end with the broadcast lexicon.
 
 Reference scale anchor: FrDics.java:82-83 loads ~130k types; this
-generated lexicon ships ~27k real inflected forms from ~1,400 curated
+generated lexicon ships ~33k real inflected forms from ~1,800 curated
 lemmas expanded by textbook French inflection rules."""
 
 from __future__ import annotations
