@@ -121,21 +121,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_wildcard_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1 wildcard — `fast win*` expands against the vocabulary
-    (WildcardQuery, ``Alix.java:731-734``) then scores exact BM25."""
-    c = _corpus(spark, sf_dir)
-    return c.search("fast win*", k=10).select(
+    """Q1 wildcard — `fast win*` expands against the PERSISTED
+    vocabulary (WildcardQuery, ``Alix.java:731-734``) and scores
+    Lucene-faithful BM25 from decoded segment postings + stored
+    SmallFloat norms — the full wildcard path served from the index,
+    no tokenize stage in the plan (pinned by
+    tests/test_index_reader_queries.py)."""
+    r = _index_reader(spark, sf_dir)
+    return r.search("fast win*", k=10).select(
         "doc_id", F.round("score", 4).alias("score")
     )
 
 
 def q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2 — boolean MUST/MUST_NOT retrieval: +fast +join -window."""
-    c = _corpus(spark, sf_dir)
-    parsed = c.parse("+fast +join -window")
-    from alix_spark.search.boolean import matching_docs
-
-    return matching_docs(c.postings, parsed, all_docs=c.doc_lens).select("doc_id")
+    """Q2 — boolean MUST/MUST_NOT retrieval (+fast +join -window),
+    served from the PERSISTED index: decoded posting doc sets
+    intersect/anti-join, no corpus rescan (``Alix.java:714-754``)."""
+    r = _index_reader(spark, sf_dir)
+    return r.boolean_docs("+fast +join -window")
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,8 +462,9 @@ def q_hilite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 — hilite every pivot occurrence (``<mark id=N>`` inserts,
     Doc.java:493-542) over the persisted offsets table, reported as
     per-doc html length. Oracle: per doc with n matches the overhead is
-    Σ_{i<n} (20 + digits(i)) — the id attribute grows with the
-    within-doc match ordinal."""
+    Σ_{i<n} (19 + digits(i)) — ``<mark id="`` (10) + ``">`` (2) +
+    ``</mark>`` (7) plus the id digits, growing with the within-doc
+    match ordinal."""
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -511,6 +515,50 @@ def q_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_tag(sf_dir: str) -> str:
+    """Cache key covering corpus CONTENT, not just the path: a
+    regenerated corpus at the same sf_dir changes the parquet files'
+    (name, size, mtime) fingerprint and so misses any stale cache."""
+    import glob
+    import hashlib
+
+    src = sorted(
+        glob.glob(os.path.join(sf_dir, "documents.parquet"))
+        + glob.glob(os.path.join(sf_dir, "documents.parquet", "*.parquet"))
+    )
+    fp = ";".join(
+        f"{p}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
+        for p in src
+        if os.path.isfile(p)
+    )
+    return hashlib.sha1(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
+
+
+def _index_reader(spark: SparkSession, sf_dir: str):
+    """A PERSISTED compressed index for the corpus (built once per
+    corpus content into a local cache dir, like a build_index.py run),
+    opened through :class:`alix_spark.index.reader.IndexReader` — so
+    boolean/wildcard queries are served from segment decode with no
+    tokenize stage in their plans (the reference serves every query
+    type from one searcher, ``Alix.java:687-756,325-344``)."""
+    from alix_spark.index import segments as seg_mod
+    from alix_spark.index.reader import IndexReader
+
+    out = f"/tmp/alix_entry_cache/index_{_corpus_tag(sf_dir)}"
+    if not os.path.exists(f"{out}/norms/_SUCCESS"):
+        c = _corpus(spark, sf_dir)
+        segs, norms = seg_mod.split_single_pass(
+            seg_mod.build_single_pass(c.tokens, seg_size=1024)
+        )
+        segs.write.mode("overwrite").parquet(f"{out}/segments")
+        norms.write.mode("overwrite").parquet(f"{out}/norms")
+    return IndexReader.from_tables(
+        spark,
+        spark.read.parquet(f"{out}/segments"),
+        spark.read.parquet(f"{out}/norms"),
+    )
+
+
 def _offsets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted offsets table ``(doc_id, pos, start, end, term)``
     for a corpus — the simple-chain analogue of the reference's term
@@ -518,12 +566,9 @@ def _offsets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a build_index.py stage in the product path; materialized to a local
     cache dir here) and served as a plain parquet scan, so render ops
     never re-tokenize the corpus."""
-    import hashlib
-
     from alix_spark.analysis.simple import token_offsets
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    out = f"/tmp/alix_entry_cache/offsets_{tag}"
+    out = f"/tmp/alix_entry_cache/offsets_{_corpus_tag(sf_dir)}"
     if not os.path.exists(f"{out}/_SUCCESS"):
         docs = load_documents(spark, sf_dir)
         (
@@ -899,27 +944,42 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "wildcard_bm25": f"""
+            -- wildcard expansion + LUCENE-faithful scoring: the Spark
+            -- side serves this from the persisted index (stored
+            -- SmallFloat norms), so per-doc lengths are byte4-quantized
+            -- and each clause score rounds to float32 — same pipeline
+            -- the bm25_lucene oracle reproduces
             WITH {TOK_CTE},
             qterms AS (SELECT DISTINCT term FROM tok
                        WHERE term = 'fast' OR term LIKE 'win%'),
             tf AS (SELECT doc_id, t.term, CAST(count(*) AS DOUBLE) AS f
                    FROM tok t JOIN qterms USING (term)
                    GROUP BY doc_id, t.term),
-            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
                    FROM tok GROUP BY doc_id),
-            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
-                      FROM dl),
+            dlq AS (SELECT doc_id,
+                           CASE WHEN dl < 32 THEN dl
+                                ELSE 24 + (((((dl - 24) >> s) & 7) | 8) << s)
+                           END AS dlq
+                    FROM (SELECT doc_id, dl,
+                                 CASE WHEN dl < 32 THEN 0
+                                      ELSE CAST(floor(log2(CAST(dl - 24
+                                             AS DOUBLE))) AS INTEGER) - 3
+                                 END AS s
+                          FROM dl)),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                             avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
             dfreq AS (SELECT t.term,
                              CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
                       FROM tok t JOIN qterms USING (term) GROUP BY t.term)
             SELECT t.doc_id,
-                   ROUND(SUM(
+                   ROUND(SUM(CAST(CAST(
                      ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                     * (t.f * 2.2)
-                       / (t.f + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
-                   ), 4) AS score
+                     * (t.f / (t.f + 1.2 * (1 - 0.75
+                               + 0.75 * q.dlq / s.avgdl)))
+                   AS REAL) AS DOUBLE)), 4) AS score
             FROM tf t
-            JOIN dl l USING (doc_id)
+            JOIN dlq q USING (doc_id)
             JOIN dfreq d USING (term)
             CROSS JOIN stats s
             GROUP BY t.doc_id

@@ -9,35 +9,67 @@ enough to exercise every rule family; a production deployment would load
 the full CSVs through :func:`load_lexicon_csv` and broadcast them.
 
 All content here is common-knowledge French function words / sample
-vocabulary, written for this project.
+vocabulary, written for this project. Chain-semantics parity with the
+reference's own Java analyzers (running THESE dictionaries, exported to
+its CSV formats by tools/fr_oracle/export_dicts.py) is golden-asserted
+in tests/test_fr_chain_parity.py.
 """
 
 from __future__ import annotations
 
-# POS tag flags — 8-bit, high nibble = category group, mirroring the
-# reference's tag-group semantics (``/root/reference/java/alix/fr/Tag.java:47-220``;
-# values are ours)
+# POS tag flags — numeric values match the reference's Tag enum
+# (``/root/reference/java/alix/fr/Tag.java:47-220``) so parity goldens
+# compare flags directly. High nibble = category group (Tag.sameParent).
 UNKNOWN = 0x00
 VERB = 0x10
 SUB = 0x20  # substantive (noun)
 NAME = 0x30  # proper name
-ADJ = 0x40
-ADV = 0x50
+ADJ = 0x50
+ADV = 0x51  # same group nibble as ADJ, as in the reference
 DET = 0x60
 PRO = 0x70
-CONJ = 0x80
-PREP = 0x90
+CONJ = 0x82  # CONJsub in the reference's naming
+PREP = 0x88  # same group nibble as CONJ (connectors)
 NUM = 0xA0
-EXCL = 0xB0
 PUN = 0xC0
 PUN_DIV = 0xC1  # structural break (paragraph/section)
-PUN_SENT = 0xC2  # sentence punctuation
+PUN_SENT = 0xC2  # sentence punctuation . … ? !
+PUN_CL = 0xC3  # clause punctuation , ; : ( ) — – « »
+ABBR = 0xF1  # abbreviation with kept dot (M., etc.)
+EXCL = 0xF2
 
 GROUP_MASK = 0xF0
 
+# group aliases used by filters: the connector group covers CONJ+PREP,
+# the ADJ group covers ADJ+ADV (reference nibble layout)
+CONN = 0x80
 
 def group(tag: int) -> int:
     return tag & GROUP_MASK
+
+
+def roman2int(s: str) -> int:
+    """Roman numeral value, or <= 0 if not one. Mirrors the reference's
+    subtractive scan (``/root/reference/java/alix/maths/Calcul.java:181-205``):
+    uppercase I V X L C D M only, any other char -> -1; no strictness
+    about repetition, so e.g. 'MIDI' parses — deterministic quirk shared
+    with the reference."""
+    vals = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
+    value = 0
+    i, n = 0, len(s)
+    while i < n:
+        v1 = vals.get(s[i], -1)
+        if v1 < 0:
+            return -1
+        if i + 1 < n:
+            v2 = vals.get(s[i + 1], -1)
+            if v1 < v2:
+                value = value - v1 + v2
+                i += 2
+                continue
+        value += v1
+        i += 1
+    return value
 
 
 # graph → (tag, orth, lemma); orth/lemma None = same as graph
@@ -117,43 +149,66 @@ STOP: set[str] = {
     "ont", "très", "bien", "tout", "alors", "moi", "toi", "parce que",
 }
 
-# elision prefixes (ellision.csv analogue): apostrophe form → normalized
-ELISION: dict[str, str] = {
+# elision prefixes (ellision.csv analogue). The reference tokenizer
+# REPLACES the accumulated term on match (FrTokenizer.java:431-437), so
+# keys are case-sensitive apostrophe forms and values are the emitted
+# token. Our editorial choice maps every prefix to its full form
+# (l' → le), so elided articles merge with their plain forms in stats
+# and search; apostrophe locutions are therefore expressed with
+# expanded keys in LOCUTIONS (n'importe quel → ne importe quel).
+_ELISION_BASE: dict[str, str] = {
     "l'": "le", "d'": "de", "j'": "je", "n'": "ne", "s'": "se", "c'": "ce",
     "t'": "te", "m'": "me", "qu'": "que", "jusqu'": "jusque",
     "lorsqu'": "lorsque", "puisqu'": "puisque", "quoiqu'": "quoique",
 }
+ELISION: dict[str, str] = {}
+for _k, _v in _ELISION_BASE.items():
+    ELISION[_k] = _v
+    ELISION[_k[0].upper() + _k[1:]] = _v
 
-# enclitic pronouns after hyphen (HYPHEN_POST analogue)
+# words a hyphen breaks before (enclitic pronouns etc.) — the closed
+# grammatical class hardcoded by the reference (FrTokenizer.java:126-133)
 HYPHEN_POST: set[str] = {
-    "moi", "toi", "lui", "nous", "vous", "le", "la", "les", "leur", "y",
-    "en", "ce", "elle", "elles", "il", "ils", "je", "tu", "on",
+    "ce", "ci", "elle", "elles", "en", "eux", "il", "ils", "je", "la",
+    "là", "le", "les", "leur", "lui", "me", "moi", "nous", "on", "t",
+    "te", "toi", "tu", "vous", "y",
 }
 
-# abbreviations ending with a dot that is part of the token
-# (brevidot.csv analogue): graph (without dot) → orth
+# abbreviations whose final dot belongs to the token (brevidot.csv
+# analogue): dot-included graph → replacement term (FrDics.java:385-391
+# copies the value into the term; FrTokenizer.java:342-348 keeps
+# scanning with the ABBR flag)
 BREVIDOT: dict[str, str] = {
-    "M": "M.", "MM": "MM.", "Mme": "Mme", "Mlle": "Mlle", "Dr": "Dr",
-    "St": "St", "cf": "cf.", "etc": "etc.", "p": "p.", "t": "t.",
+    "M.": "M.", "MM.": "MM.", "Mme.": "Mme", "Mlle.": "Mlle", "Dr.": "Dr",
+    "St.": "St", "cf.": "cf.", "etc.": "etc.", "p.": "p.", "t.": "t.",
 }
 
-# multi-word locutions (locutions.csv analogue): token-tuple → (orth, tag)
-LOCUTIONS: dict[tuple[str, ...], tuple[str, int]] = {
-    ("parce", "que"): ("parce que", CONJ),
-    ("avoir", "l'", "air"): ("avoir l'air", VERB),
-    ("tout", "à", "coup"): ("tout à coup", ADV),
-    ("au", "fur", "et", "à", "mesure"): ("au fur et à mesure", ADV),
-    ("grand", "chose"): ("grand-chose", PRO),
-    ("n'", "importe", "quel"): ("n'importe quel", DET),
+# multi-word locutions (locutions.csv analogue):
+# token-key tuple → (orth, tag, lemma). Keys are the per-token compound
+# keys the LocutionFilter walk produces — verb tokens keyed by LEMMA,
+# NUM tokens by "NUM", names and nouns by graph, the rest by orth
+# (LocutionFilter.java:145-172) — with elisions expanded (l' → le).
+LOCUTIONS: dict[tuple[str, ...], tuple[str, int, str | None]] = {
+    ("parce", "que"): ("parce que", CONJ, None),
+    ("avoir", "le", "air"): ("avoir l'air", VERB, None),
+    ("tout", "à", "coup"): ("tout à coup", ADV, None),
+    ("au", "fur", "et", "à", "mesure"): ("au fur et à mesure", ADV, None),
+    ("grand", "chose"): ("grand-chose", PRO, None),
+    ("ne", "importe", "quel"): ("n'importe quel", DET, None),
 }
 
-# particles allowed inside person names (FrPersnameFilter.PARTICLES)
-PARTICLES: set[str] = {"de", "du", "des", "d'", "la", "le", "van", "von"}
+# particles joinable inside person names — the closed class hardcoded by
+# the reference (FrPersnameFilter.java:63-68), matched case-sensitively
+# on the token term
+PARTICLES: set[str] = {
+    "d'", "D'", "de", "De", "du", "Du", "l'", "L'", "le", "Le", "la",
+    "La", "von", "Von",
+}
 
 
 def build_locution_trie() -> dict:
     """LOCUTIONS as a nested-dict prefix trie: the TREELOC analogue
-    (``FrDics.java:323-343``). Leaf marker key: '$' → (orth, tag)."""
+    (``FrDics.java:323-343``). Leaf marker key: '$' → (orth, tag, lem)."""
     trie: dict = {}
     for toks, payload in LOCUTIONS.items():
         node = trie

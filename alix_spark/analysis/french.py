@@ -6,144 +6,96 @@ Chain (mirrors ``/root/reference/java/alix/lucene/analysis/FrAnalyzer.java:52-70
 
     tokenize → lemmatize → locutions → person names → final selection
 
-Rule families reproduced (each cited to the reference behavior):
+Semantics are CHAIN-PARITY-TESTED against the reference's own Java
+analyzers compiled from ``/root/reference/java`` and run with these same
+dictionaries (tools/fr_oracle, tests/test_fr_chain_parity.py). Rule
+families (each cited to the reference behavior):
 
-* elision split on apostrophe via dictionary — ``FrTokenizer.java:431-437``
-* hyphen split before enclitic pronouns, euphonic ``-t`` dropped —
-  ``FrTokenizer.java:128-133,462-475``
-* abbreviation dot kept on known abbreviations (``M.``), sentence dot
-  emitted as punctuation otherwise — ``FrTokenizer.java:342-401``
-* roman numerals and decimal numbers → NUM — ``FrTokenizer.java:322-326``,
-  ``FrLemFilter.java:143-147``
-* punctuation kept as a position-holding token — the "holes" of
-  ``FlagCloudFilter.java:114-117`` (term == "")
-* dictionary lemmatization with NO disambiguation ("errors are completely
-  deterministic", ``FrLemFilter.java:66-72``)
-* longest-match locution compounding via a prefix trie —
-  ``LocutionFilter.java:101-226``
-* capitalized-run person-name joining with particles —
-  ``FrPersnameFilter.java:104-177``
-* final indexed form = lemma, else orth, else graph; numbers unified to
-  literal ``NUM`` — ``FlagCloudFilter.java:119-129``
-
-The soft-hyphen removal and ``’`` → ``'`` normalizations of
-``FrTokenizer.java:424-425`` are applied up front; XML handling is gated
-behind ``skip_xml`` since this engine's corpus is code/plain text.
+* a very light XML parser: unknown tags are transparent to a token in
+  progress, SKIP elements drop their content, TAGS elements emit a
+  PUNdiv pseudo-token (``FrTokenizer.java:150-165,228-299``)
+* named character entities decode to one char; unknown/numeric entities
+  are appended raw (``FrTokenizer.java:302-318``, ``ML.forChar``)
+* digits absorb inner AND one trailing ``.,`` (``FrTokenizer.java:321-326``)
+* clause punctuation ``, ; : ( ) — – « »`` emits one PUNcl token each;
+  sentence punctuation ``. … ? !`` accumulates one PUNsent token per run
+  (``Char.java:123-124``, ``FrTokenizer.java:329-341``)
+* the final-dot cascade: abbreviation dots kept with term replacement
+  (brevidot), lowercase-before-dot → sentence end, uppercase-before-dot
+  → keep scanning (J.-P., U.S.A., III.) (``FrTokenizer.java:342-401``)
+* elision: the accumulated apostrophe prefix is REPLACED by its
+  dictionary value (l' → le) and the token flushed
+  (``FrTokenizer.java:431-437``)
+* hyphen: split at the LAST hyphen only, when the tail is an enclitic
+  (HYPHEN_POST); euphonic ``-t`` dropped from the term but not the
+  offset (``FrTokenizer.java:128-133,453-467``)
+* lemmatization: dictionary lookup, no disambiguation; capitalized
+  unknown → NAME; capitalized roman numeral → NUM with the value
+  appended to orth (``FrLemFilter.java:112-199``)
+* locutions: compound-key walk of the locution trie, verbs keyed by
+  lemma, negation-transparent ("ne fait pas l'affaire")
+  (``LocutionFilter.java:101-226``)
+* person names: NAME run + particles + any capitalized token, trailing
+  particles trimmed, orth/lemma emptied (``FrPersnameFilter.java:104-177``)
+* final selection: PUN → "" hole, NUM → "NUM", else lemma | orth | term
+  (``FlagCloudFilter.java:101-129``); the orth twin keeps punctuation
+  marks , . § (``FlagOrthFilter.java:87-110``)
 """
 
 from __future__ import annotations
 
-import re
-from dataclasses import dataclass, field
+import html.entities
+from dataclasses import dataclass
 
 from alix_spark.analysis import fr_dicts as D
 
 MAX_TOKEN_LEN = 256  # FrTokenizer.java:120,439
 
-_ROMAN_RE = re.compile(r"^[IVXLCDM]+$")
-_NUM_RE = re.compile(r"^\d+([.,]\d+)?$")
-_WORD_CHAR = re.compile(r"[\wÀ-ɏ]")  # letters incl. accents
-_XML_TAG = re.compile(r"<[^>]*>")
-_SENT_PUNCT = {".", "!", "?", "…"}
+# clause + sentence punctuation classes (Char.java:123-124)
+_PUNCL = set(",;:()—–⁂»«")
+_PUNSENT = set(".…?!")
 
-# XML elements whose CONTENT is skipped entirely (FrTokenizer.java:150-159:
-# script, style, teiHeader, note, and the like)
-_SKIP_ELEMENTS = ("script", "style", "teiheader", "note")
-_SKIP_RE = re.compile(
-    r"<(script|style|teiHeader|note)\b[^>]*>.*?</\1\s*>",
-    re.IGNORECASE | re.DOTALL,
-)
-# structural elements that emit a PUNdiv pseudo-token (paragraph/section
-# breaks — FrTokenizer.java:135-148, tagged PUNdiv at 272-294)
-_DIV_RE = re.compile(r"<(p|section|div|lb?)\b[^>]*/?>", re.IGNORECASE)
-# In-band structural-break sentinel: ASCII GS (group separator). Chosen
-# non-printable so a literal '§' (or &#167;) in document text can never
-# be mis-tagged PUN_DIV.
-_DIV_MARK = "\x1d"
-# character entities the reference decodes inline (FrTokenizer.java:302-318)
-_ENTITIES = {
-    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
-    "nbsp": " ", "eacute": "é", "egrave": "è", "agrave": "à",
-    "ccedil": "ç", "ocirc": "ô", "ucirc": "û", "icirc": "î",
-    "ecirc": "ê", "acirc": "â", "ugrave": "ù", "euml": "ë",
-    "iuml": "ï", "oelig": "œ", "laquo": "«", "raquo": "»",
-    "hellip": "…", "rsquo": "'", "lsquo": "'",
+# structural elements → PUNdiv pseudo-token (FrTokenizer.java:135-148)
+_TAGS = {
+    "p": "<p>", "h1": "<p>", "h2": "<p>", "h3": "<p>", "h4": "<p>",
+    "h5": "<p>", "h6": "<p>", "section": "<section>",
+    "/section": "</section>", "article": "<section>",
+    "/article": "</section>",
 }
-_ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
+# elements whose content is skipped, mapped to their closing tagname
+# (FrTokenizer.java:150-159)
+_SKIP = {
+    "note": "/note", "bibl": "/bibl", "head": "/head",
+    "?index_off?": "?index_on?", "script": "/script", "style": "/style",
+    "teiHeader": "/teiHeader",
+}
+
+# named entities → single char, built from the standard HTML entity
+# tables shipped with Python (the reference loads the same standard set
+# from its htmlent.csv; numeric &#...; forms are NOT decoded — parity)
+_ENTITIES: dict[str, str] = {}
+for _name, _ch in html.entities.entitydefs.items():
+    if len(_ch) == 1:
+        _ENTITIES["&" + _name + ";"] = _ch
+for _name, _ch in html.entities.html5.items():
+    if _name.endswith(";") and len(_ch) == 1:
+        _ENTITIES["&" + _name] = _ch
 
 
-def _decode_entity(body: str) -> str | None:
-    if body.startswith("#x") or body.startswith("#X"):
-        try:
-            return chr(int(body[2:], 16))
-        except ValueError:
-            return None
-    if body.startswith("#"):
-        try:
-            return chr(int(body[1:]))
-        except ValueError:
-            return None
-    return _ENTITIES.get(body.lower())
-
-
-def _prepare(text: str, skip_xml: bool) -> tuple[str, list[int], list[int]]:
-    """Offset-preserving normalization pre-pass → (chars, starts, ends):
-    per prepared char, its original [start, end) span. Handles soft
-    hyphens, curly apostrophes, skipped-element contents, structural
-    PUNdiv pseudo-tokens (as the non-printable sentinel ``\\x1d``, so a
-    literal '§' in document text stays ordinary punctuation), tag
-    blanking, and entity decoding —
-    so every downstream token keeps EXACT source offsets even through
-    multi-char entities (``FrTokenizer`` keeps offsets the same way).
-    """
-    if skip_xml and "<" in text:
-        # blank skipped-element contents and tags, preserving length;
-        # structural tags leave one non-printable GS marker (\x1d) at
-        # their position — in-band but unreachable from document text
-        # (entities decode printable chars only), unlike the printable
-        # '§' this used to use
-        def _blank(m: re.Match) -> str:
-            return " " * len(m.group())
-
-        text = _SKIP_RE.sub(_blank, text)
-        text = _DIV_RE.sub(lambda m: _DIV_MARK + " " * (len(m.group()) - 1), text)
-        text = _XML_TAG.sub(_blank, text)
-
-    chars: list[str] = []
-    starts: list[int] = []
-    ends: list[int] = []
-    i, n = 0, len(text)
-    while i < n:
-        c = text[i]
-        if c == "­":  # soft hyphen: dropped
-            i += 1
-            continue
-        if c == "’":
-            chars.append("'")
-            starts.append(i)
-            ends.append(i + 1)
-            i += 1
-            continue
-        if c == "&":
-            m = _ENTITY_RE.match(text, i)
-            if m:
-                decoded = _decode_entity(m.group(1))
-                if decoded is not None:
-                    chars.append(decoded)
-                    starts.append(i)
-                    ends.append(m.end())
-                    i = m.end()
-                    continue
-        chars.append(c)
-        starts.append(i)
-        ends.append(i + 1)
-        i += 1
-    return "".join(chars), starts, ends
+def _is_token_char(c: str) -> bool:
+    """Char.isToken (Char.java:79-126): letters, decimal digits, and the
+    in-word specials. '&' is a letter-class char in the table; in XML
+    mode the entity branch intercepts it first."""
+    return (
+        c.isalpha()
+        or c.isdecimal()
+        or c in "-\xad'’_�°&"
+    )
 
 
 @dataclass
 class Token:
-    graph: str  # original graphic form
+    graph: str  # the term as tokenized (elisions/brevidots replaced)
     orth: str  # normalized orthography
     lemma: str | None
     tag: int
@@ -153,17 +105,27 @@ class Token:
 
     @property
     def indexed(self) -> str:
-        """FlagCloudFilter final selection (``FlagCloudFilter.java:119-129``)."""
+        """FlagCloudFilter final selection (``FlagCloudFilter.java:101-129``)."""
         if D.group(self.tag) == D.PUN:
             return ""  # position-holding hole
         if D.group(self.tag) == D.NUM:
             return "NUM"
-        return self.lemma or self.orth or self.graph
+        if self.lemma:
+            return self.lemma
+        if self.orth:
+            return self.orth
+        return self.graph
 
     @property
     def indexed_orth(self) -> str:
         """FlagOrthFilter selection for the ``_orth`` twin field
-        (``FlagOrthFilter.java:73-110``)."""
+        (``FlagOrthFilter.java:87-110``)."""
+        if self.tag == D.PUN_CL:
+            return ","
+        if self.tag == D.PUN_SENT:
+            return "."
+        if self.tag == D.PUN_DIV:
+            return "§"
         g = D.group(self.tag)
         if g == D.PUN:
             return ""
@@ -172,122 +134,246 @@ class Token:
         return self.orth or self.graph
 
 
-def _is_roman(s: str) -> bool:
-    return bool(_ROMAN_RE.match(s)) and len(s) > 0
-
-
 # ---------------------------------------------------------------------- #
-# stage 1: char-level tokenizer
+# stage 1: char-level tokenizer (FrTokenizer.java:185-475 semantics)
 # ---------------------------------------------------------------------- #
 
 
 def tokenize_fr(text: str, skip_xml: bool = True) -> list[Token]:
-    """Char scanner → raw tokens (graph/pos/offsets; tags only for
-    punctuation & numbers at this stage)."""
+    """Char scanner → raw tokens. One pass over the source with exact
+    reference offset arithmetic: a token's end offset is the position
+    where its scan broke (so it extends across transparent XML tags,
+    like the reference's)."""
     if text is None:
         return []
-    # FrTokenizer.java:424-425 normalizations + XML/entity pre-pass with
-    # exact source-offset preservation
-    norm, c_start, c_end = _prepare(text, skip_xml)
-
     tokens: list[Token] = []
-    i, n = 0, len(norm)
-    pos = 0
+    n = len(text)
+    i = 0
+    # per-token state
+    term: list[str] = []
+    flags = D.UNKNOWN
+    start = -1
+    hyph = -1  # source pos just after the last in-word hyphen
+    tail: list[str] = []  # chars after the last hyphen
+    last = "\0"
+    # xml state
+    intag = False
+    tagname = False
+    tag_acc: list[str] = []
+    lt = -1
+    skip_until: str | None = None
+    in_ent = False
+    ent: list[str] = []
 
-    def emit(graph: str, start: int, end: int, tag: int = D.UNKNOWN):
-        # start/end are PREPARED-string indices; map back to the source
-        nonlocal pos
-        if len(graph) > MAX_TOKEN_LEN:
-            graph = graph[:MAX_TOKEN_LEN]
-        src_start = c_start[start] if start < n else (c_end[-1] if n else 0)
-        src_end = c_end[end - 1] if end - 1 < n and end > 0 else src_start
-        tokens.append(Token(graph, graph, None, tag, pos, src_start, src_end))
-        pos += 1
+    def emit(graph: str, tag: int, s: int, e: int) -> None:
+        tokens.append(Token(graph, graph, None, tag, len(tokens), s, e))
+
+    def flush(end: int) -> None:
+        # post-loop send logic incl. the last-hyphen enclitic split
+        # (FrTokenizer.java:453-467: term minus tail minus hyphen, the
+        # euphonic -t dropped from the term but not the offsets)
+        nonlocal term, flags, start, hyph, tail, last
+        t = "".join(term)
+        tl = "".join(tail)
+        if hyph > 0 and tl in D.HYPHEN_POST:
+            part1 = t[: len(t) - len(tl) - 1]
+            if part1.endswith("-t"):
+                part1 = part1[:-2]
+            emit(part1, flags, start, hyph - 1)
+            emit(tl, flags, hyph, end)
+        else:
+            emit(t, flags, start, end)
+        term, tail = [], []
+        flags = D.UNKNOWN
+        start, hyph = -1, -1
+        last = "\0"
 
     while i < n:
-        c = norm[i]
-        # _DIV_MARK (\x1d) is the structural paragraph/section break
-        # sentinel from the XML pre-pass; check it BEFORE isspace() —
-        # Python classifies \x1c-\x1f as whitespace
-        if c == _DIV_MARK:
-            emit(c, i, i + 1, D.PUN_DIV)
+        c = text[i]
+        if skip_xml:
+            if c == "<":
+                lt = i
+                intag, tagname = True, True
+                tag_acc = []
+                tail = []  # the reference reuses its test buffer: a tag
+                # clobbers any pending hyphen tail
+                i += 1
+                continue
+            if intag:
+                if tagname:
+                    if tag_acc and c in " >/":
+                        tagname = False
+                    else:
+                        tag_acc.append(c)
+                if c == ">":
+                    intag = False
+                    name = "".join(tag_acc)
+                    if skip_until is not None:
+                        if name == skip_until:
+                            skip_until = None
+                        i += 1
+                        continue
+                    if name in _SKIP:
+                        skip_until = _SKIP[name]
+                        i += 1
+                        continue
+                    el = _TAGS.get(name)
+                    if el is None:  # unknown tag: transparent
+                        i += 1
+                        continue
+                    if term:
+                        # a word was pending: send it first, its end
+                        # offset bleeding to the tag end (reference
+                        # offset arithmetic, FrTokenizer.java:272-287)
+                        flush(i + 1)
+                    emit(el, D.PUN_DIV, lt, i + 1)
+                    i += 1
+                    continue
+                i += 1
+                continue
+            if skip_until is not None:
+                i += 1
+                continue
+            if c == "&":
+                if not term:
+                    start = i
+                in_ent = True
+                ent = ["&"]
+                i += 1
+                continue
+            if in_ent:
+                ent.append(c)
+                if c == ";":
+                    in_ent = False
+                    s = "".join(ent)
+                    dec = _ENTITIES.get(s)
+                    term.extend(dec if dec is not None else s)
+                i += 1
+                continue
+
+        # decimals: digits absorb . and , (FrTokenizer.java:321-326);
+        # one trailing punct stays in the term when no digit follows
+        if last.isdecimal() and c in ".,":
+            term.append(c)
+            last = c
             i += 1
             continue
-        if c.isspace():
+
+        if c in _PUNCL:
+            if term:
+                flush(i)  # push back: c reprocessed as its own token
+            else:
+                emit(c, D.PUN_CL, i, i + 1)
+                i += 1
+            continue
+
+        if c in _PUNSENT:
+            if not term:
+                flags = D.PUN_SENT
+                start = i
+                term.append(c)
+                last = c
+                i += 1
+                continue
+            if flags == D.PUN_SENT:
+                # a run of sentence punctuation extends the token's
+                # offsets without growing its term ("?!" → "?")
+                i += 1
+                continue
+            if c == "…" and flags == D.ABBR:
+                term.append(".")  # O.N… keeps a final dot
+            if c == ".":
+                # the final-dot cascade (FrTokenizer.java:349-401)
+                term.append(".")
+                t = "".join(term)
+                rep = D.BREVIDOT.get(t)
+                if rep is not None:
+                    flags = D.ABBR
+                    term = list(rep)
+                    i += 1
+                    continue
+                elif last.islower():
+                    term.pop()  # sentence end: dot is punctuation
+                    flush(i)
+                    continue
+                elif last.isupper():
+                    i += 1  # J.-P., U.S.A., III. — keep dot, keep going
+                    continue
+                elif D.roman2int(t[:-1]) > 0:
+                    flags = D.NUM
+                    flush(i)
+                    continue
+                elif len(t) > 2 and t[0].isupper() and t[1].isupper():
+                    term.pop()
+                    flush(i)
+                    continue
+                elif len(t) < 3:
+                    i += 1
+                    continue
+                elif t[-3] == ".":
+                    i += 1
+                    continue
+                else:
+                    term.pop()
+                    flush(i)
+                    continue
+            else:
+                flush(i)  # push back the ? ! …
+                continue
+
+        if c == "-":
+            if term:
+                hyph = i + 1
+                tail = []
+            else:
+                i += 1  # leading hyphen: OCR artifact, dropped
+                continue
+            # falls through: '-' is a token char
+
+        if _is_token_char(c):
+            if not term:
+                if c.isdecimal():
+                    flags = D.NUM
+                start = i
+            if c == "\xad":  # soft hyphen never joins the term
+                i += 1
+                continue
+            cc = "'" if c == "’" else c
+            term.append(cc)
+            if hyph > 0 and cc != "-":
+                tail.append(cc)
+            if cc == "'":
+                rep = D.ELISION.get("".join(term))
+                if rep is not None:
+                    # elision: replace the term and send (l' → le)
+                    term = list(rep)
+                    hyph = -1  # replacement, no split
+                    flush(i + 1)
+                    i += 1
+                    continue
+            if len(term) >= MAX_TOKEN_LEN:
+                flush(i + 1)
+                i += 1
+                continue
+            last = c
             i += 1
             continue
-        if c.isdigit():
-            j = i + 1
-            while j < n and (norm[j].isdigit() or (
-                norm[j] in ".," and j + 1 < n and norm[j + 1].isdigit()
-            )):
-                j += 1
-            emit(norm[i:j], i, j, D.NUM)
-            i = j
+
+        # any other char breaks a pending token (and is consumed)
+        if term:
+            flush(i)
+            i += 1
             continue
-        if _WORD_CHAR.match(c):
-            j = i + 1
-            while j < n and (_WORD_CHAR.match(norm[j]) or norm[j] in "'-."):
-                # apostrophe: cut AFTER it when the prefix is an elision
-                if norm[j] == "'":
-                    prefix = norm[i : j + 1]
-                    if prefix.lower() in D.ELISION:
-                        j += 1
-                        break
-                    j += 1
-                    continue
-                if norm[j] == "-":
-                    # hyphen split before enclitic pronoun (dis-moi)
-                    k = j + 1
-                    # euphonic -t- : dis-t-il → drop the t
-                    rest = norm[k:]
-                    if rest[:2].lower() in ("t-",) and len(rest) > 2:
-                        after = re.match(r"t-(\w+)", rest)
-                        if after and after.group(1).lower() in D.HYPHEN_POST:
-                            break
-                    m = re.match(r"([\wÀ-ɏ]+)", rest)
-                    if m and m.group(1).lower() in D.HYPHEN_POST:
-                        break
-                    j += 1
-                    continue
-                if norm[j] == ".":
-                    # abbreviation dot stays if known (M. / etc.), else the
-                    # dot is sentence punctuation
-                    word = norm[i:j]
-                    if word in D.BREVIDOT:
-                        j += 1
-                    break
-                j += 1
-            graph = norm[i:j].rstrip("-")
-            if graph:
-                emit(graph, i, i + len(graph))
-            i = j if j > i else i + 1
-            # euphonic -t- removal: skip "-t-" before an enclitic
-            if i < n and norm[i] == "-":
-                m = re.match(r"-t-([\wÀ-ɏ]+)", norm[i:])
-                if m and m.group(1).lower() in D.HYPHEN_POST:
-                    i += 3  # skip "-t-"; next loop sees the pronoun
-                    continue
-                if re.match(r"-([\wÀ-ɏ]+)", norm[i:]) and re.match(
-                    r"-([\wÀ-ɏ]+)", norm[i:]
-                ).group(1).lower() in D.HYPHEN_POST:
-                    i += 1  # skip the hyphen, emit the pronoun next
-                    continue
-            continue
-        # punctuation; the reference emits PUNdiv only for structural
-        # tags (handled above via _DIV_MARK), never for any printable
-        # character such as a literal '§'
-        if c in _SENT_PUNCT:
-            tag = D.PUN_SENT
-        else:
-            tag = D.PUN
-        emit(c, i, i + 1, tag)
+        last = c
         i += 1
+
+    if term:
+        flush(n)
     return tokens
 
 
 # ---------------------------------------------------------------------- #
-# stage 2: lemmatizer (FrLemFilter semantics)
+# stage 2: lemmatizer (FrLemFilter.java:112-199 semantics)
 # ---------------------------------------------------------------------- #
 
 
@@ -301,72 +387,98 @@ def lemmatize(
     executors as a broadcast (``FrDics.java:82-83`` scale)."""
     w = words if words is not None else D.WORDS
     for t in tokens:
-        if D.group(t.tag) in (D.PUN, D.NUM):
+        if t.tag in (D.PUN_DIV, D.PUN_SENT):
             continue
-        graph = t.graph
-        if graph and graph[0].isupper():
-            # FrLemFilter.java:143-179
-            if _is_roman(graph):
+        g = t.orth  # starts as a copy of the term
+        if not g or not _is_token_char(g[0]):
+            continue  # clause punctuation etc.
+        c1 = g[0]
+        if c1.isupper():
+            if t.tag == D.NUM:
+                continue  # digits already flagged by the tokenizer
+            rn = D.roman2int(g)
+            if rn > 0:
                 t.tag = D.NUM
+                t.orth = g + str(rn)  # XVIII → orth "XVIII18"
                 continue
-            if graph in D.NORM:
-                t.orth = D.NORM[graph]
-            if graph in D.NAMES:
-                tag, orth = D.NAMES[graph]
-                t.tag = tag
-                if orth:
-                    t.orth = orth
+            if t.orth in D.NORM:
+                t.orth = D.NORM[t.orth]  # Etat → État
+            copy = t.orth
+            ne = D.NAMES.get(t.orth)
+            if ne is not None:
+                t.tag = ne[0]
+                if ne[1]:
+                    t.orth = ne[1]
                 continue
-            low = graph.lower()
-            if low in w:
-                tag, orth, lem = w[low]
-                t.tag, t.orth, t.lemma = tag, orth or low, lem
-                continue
-            if graph in D.BREVIDOT or graph.rstrip(".") in D.BREVIDOT:
-                t.tag = D.SUB
-                t.orth = D.BREVIDOT.get(graph.rstrip("."), graph)
+            low = t.orth.lower()
+            e = w.get(low)
+            if e is not None:
+                t.tag = e[0]
+                if e[2]:
+                    t.lemma = e[2]
+                t.orth = e[1] if e[1] else low  # known word: lowercased
                 continue
             t.tag = D.NAME  # unknown capitalized → inferred name
+            t.orth = copy
         else:
-            if graph in D.NORM:
-                t.orth = D.NORM[graph]
-            low = t.orth.lower()
-            # elision prefix normalizes to its full form (l' → le)
-            if low in D.ELISION:
-                full = D.ELISION[low]
-                t.orth = full
-                entry = w.get(full)
-                if entry:
-                    t.tag, _, t.lemma = entry[0], entry[1], entry[2]
-                continue
-            if low in w:
-                tag, orth, lem = w[low]
-                t.tag, t.orth, t.lemma = tag, orth or low, lem
+            if t.orth in D.NORM:
+                t.orth = D.NORM[t.orth]  # oeuvre → œuvre
+            e = w.get(t.orth)
+            if e is not None:
+                t.tag = e[0]
+                if e[2]:
+                    t.lemma = e[2]
+                if e[1]:
+                    t.orth = e[1]
     return tokens
 
 
 # ---------------------------------------------------------------------- #
-# stage 3: locution compounding (LocutionFilter semantics)
+# stage 3: locution compounding (LocutionFilter.java:101-226 semantics)
 # ---------------------------------------------------------------------- #
 
 _TRIE = D.build_locution_trie()
 
 
+def _loc_key(t: Token) -> str:
+    """The compound key contributed by one token
+    (LocutionFilter.java:145-172): NUM → "NUM", verbs by lemma, names
+    and nouns by the term, the rest by orth."""
+    g = D.group(t.tag)
+    if g == D.NUM:
+        return "NUM"
+    if t.lemma and g == D.VERB:
+        return t.lemma
+    if g in (D.NAME, D.SUB):
+        return t.graph
+    if t.orth:
+        return t.orth
+    return t.graph
+
+
 def compound_locutions(tokens: list[Token]) -> list[Token]:
-    """Longest-match walk of the locution trie over orth forms
-    (``LocutionFilter.java:101-226``); matched runs collapse into one
-    token carrying the locution orth + tag; positions renumbered."""
+    """Longest-match walk of the locution trie; matched runs collapse
+    into one token carrying the locution entry; a "pas" right after a
+    verb is transparent (negation inside verb locutions,
+    LocutionFilter.java:161-164); positions renumbered."""
     out: list[Token] = []
     i = 0
-    while i < len(tokens):
+    ntok = len(tokens)
+    while i < ntok:
         node = _TRIE
         j = i
-        best: tuple[int, tuple[str, int]] | None = None
-        while j < len(tokens):
-            key = tokens[j].orth.lower() if tokens[j].orth else tokens[j].graph
-            # verbs are keyed by lemma (LocutionFilter note)
-            if tokens[j].lemma and D.group(tokens[j].tag) == D.VERB:
-                key = tokens[j].lemma
+        maybe_verb = False
+        best: tuple[int, tuple[str, int, str | None]] | None = None
+        while j < ntok:
+            t = tokens[j]
+            if D.group(t.tag) == D.PUN or not t.graph:
+                break
+            if maybe_verb and j > i and t.orth == "pas":
+                j += 1  # swallowed by the compound candidate
+                continue
+            key = _loc_key(t)
+            if t.lemma and D.group(t.tag) == D.VERB:
+                maybe_verb = True
             if key not in node:
                 break
             node = node[key]
@@ -374,20 +486,16 @@ def compound_locutions(tokens: list[Token]) -> list[Token]:
                 best = (j, node["$"])
             j += 1
         if best is not None:
-            end_i, (orth, tag) = best
-            first, last = tokens[i], tokens[end_i]
+            end_i, (orth, tag, lem) = best
+            parts = tokens[i : end_i + 1]
+            graph = ""
+            for p in parts:
+                if graph and not graph.endswith("'"):
+                    graph += " "
+                graph += p.graph
             out.append(
-                Token(
-                    norm_graph := " ".join(
-                        t.graph for t in tokens[i : end_i + 1]
-                    ),
-                    orth,
-                    orth,
-                    tag,
-                    0,
-                    first.start,
-                    last.end,
-                )
+                Token(graph, orth or "", lem, tag, 0, parts[0].start,
+                      parts[-1].end)
             )
             i = end_i + 1
         else:
@@ -399,49 +507,51 @@ def compound_locutions(tokens: list[Token]) -> list[Token]:
 
 
 # ---------------------------------------------------------------------- #
-# stage 4: person names (FrPersnameFilter semantics)
+# stage 4: person names (FrPersnameFilter.java:104-177 semantics)
 # ---------------------------------------------------------------------- #
 
 
 def join_persnames(tokens: list[Token]) -> list[Token]:
-    """Join runs of NAME tokens (with optional particles between) into one
-    name token: ``Victor Hugo``, ``Jean de La Salle``
-    (``FrPersnameFilter.java:104-177``)."""
+    """A NAME-tagged capitalized token starts a run; particles and ANY
+    capitalized token continue it; trailing particles are trimmed; the
+    joined token keeps the terms, empties orth/lemma, tags NAME."""
     out: list[Token] = []
     i = 0
-    while i < len(tokens):
+    ntok = len(tokens)
+    while i < ntok:
         t = tokens[i]
-        if D.group(t.tag) == D.NAME:
+        if (
+            D.group(t.tag) == D.NAME
+            and t.graph
+            and t.graph[0].isupper()
+        ):
+            parts = [t]
+            last_keep = 1
             j = i + 1
-            last_name = i
-            while j < len(tokens):
+            while j < ntok:
                 tj = tokens[j]
-                if D.group(tj.tag) == D.NAME:
-                    last_name = j
+                if tj.graph in D.PARTICLES:
+                    parts.append(tj)
                     j += 1
-                elif (
-                    tj.orth.lower() in D.PARTICLES
-                    and j + 1 < len(tokens)
-                    and D.group(tokens[j + 1].tag) == D.NAME
-                ):
+                    continue
+                if tj.graph and tj.graph[0].isupper():
+                    parts.append(tj)
+                    last_keep = len(parts)
                     j += 1
-                else:
-                    break
-            if last_name > i:
-                parts = tokens[i : last_name + 1]
-                joined = " ".join(p.orth for p in parts)
+                    continue
+                break
+            if last_keep > 1:
+                kept = parts[:last_keep]
+                name = ""
+                for p in kept:
+                    if name and not name.endswith("'"):
+                        name += " "
+                    name += p.graph
                 out.append(
-                    Token(
-                        " ".join(p.graph for p in parts),
-                        joined,
-                        joined,
-                        D.NAME,
-                        0,
-                        parts[0].start,
-                        parts[-1].end,
-                    )
+                    Token(name, "", None, D.NAME, 0, kept[0].start,
+                          kept[-1].end)
                 )
-                i = last_name + 1
+                i += last_keep
                 continue
         out.append(t)
         i += 1
@@ -460,15 +570,26 @@ def analyze(
     skip_xml: bool = True,
     words: dict[str, tuple[int, str | None, str | None]] | None = None,
 ) -> list[Token]:
-    """The full French chain; the returned tokens expose ``indexed``
-    (lemma channel with punctuation holes) and ``indexed_orth``.
-    ``words`` optionally replaces the built-in lexicon (see
-    :func:`lemmatize`)."""
+    """The full French chain (FrAnalyzer's default text field); the
+    returned tokens expose ``indexed`` (lemma channel with punctuation
+    holes) and ``indexed_orth``. ``words`` optionally replaces the
+    built-in lexicon (see :func:`lemmatize`)."""
     toks = tokenize_fr(text, skip_xml=skip_xml)
     toks = lemmatize(toks, words=words)
     toks = compound_locutions(toks)
     toks = join_persnames(toks)
     return toks
+
+
+def analyze_orth(
+    text: str,
+    skip_xml: bool = True,
+    words: dict[str, tuple[int, str | None, str | None]] | None = None,
+) -> list[Token]:
+    """The ``_orth`` twin-field chain (FrAnalyzer.java:56,67): tokenizer
+    + lemmatizer only — no locutions, no person names — selected through
+    ``indexed_orth``."""
+    return lemmatize(tokenize_fr(text, skip_xml=skip_xml), words=words)
 
 
 def is_stop(token: Token) -> bool:

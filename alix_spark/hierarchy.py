@@ -77,20 +77,43 @@ def index_book_documents(
     """
     from alix_spark.ingest import scalable_row_number
 
-    # front matter is BOUNDED (first 256 titles): collect_list over an
-    # unbounded chapter count would build an arbitrarily large book row
-    # at 100 TB — the reference's book text is the title page, not the
-    # full table of contents
-    books = docs.groupBy("book_id").agg(
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-        F.concat_ws(
-            " ",
-            F.first("book_id"),
+    # front matter is BOUNDED (first 256 titles): the bound is enforced
+    # BEFORE any aggregation buffer exists — a window rank keeps only the
+    # 256 alphabetically-first titles per book, so the collect_list below
+    # holds ≤256 elements even for a book with millions of chapters (the
+    # reference's book text is the title page, not the full table of
+    # contents). The window sort spills; the agg buffer never grows.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("book_id").orderBy(
+        F.asc(title_col), F.asc("doc_id")
+    )
+    front = (
+        docs.select("book_id", title_col, "doc_id")
+        .filter(F.col(title_col).isNotNull())
+        .withColumn("_trk", F.row_number().over(w))
+        .filter(F.col("_trk") <= 256)
+        .groupBy("book_id")
+        .agg(
             F.array_join(
-                F.slice(F.sort_array(F.collect_list(title_col)), 1, 256), " "
+                F.sort_array(F.collect_list(title_col)), " "
+            ).alias("_titles")
+        )
+    )
+    books = (
+        docs.groupBy("book_id")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .join(front, "book_id", "left")
+        .withColumn(
+            "_book_text",
+            F.concat_ws(
+                " ", F.col("book_id"), F.coalesce("_titles", F.lit(""))
             ),
-        ).alias("_book_text"),
+        )
+        .drop("_titles")
     )
     books = scalable_row_number(
         books, [F.asc("first_doc")], "_book_rank", start=0

@@ -473,17 +473,34 @@ def split_single_pass(unioned: DataFrame) -> tuple[DataFrame, DataFrame]:
 def corpus_stats_from_norms(norms: DataFrame) -> tuple[int, float]:
     """(n_docs_with_tokens, avgdl) from norm metadata — no corpus scan.
 
-    One collect over the (few) norm rows; docs are counted by nonzero
-    norm bytes (the array covers the doc-id range, zero = no tokens).
-    At 10^12 docs this is still only corpus/seg_size rows — aggregate
-    them distributively if they ever outgrow a collect.
+    Fully distributive: an Arrow-batched kernel reduces each norm row to
+    two longs (nonzero-byte count = docs with tokens in the segment's
+    doc-id range, and the stored sum_dl), then a global ``agg(sum)``
+    brings exactly two numbers to the driver. No ``norm_bytes`` payload
+    (seg_size bytes per row → O(n_docs) bytes total) ever leaves the
+    executors, so the path is flat in corpus size.
     """
-    total_docs = 0
-    total_dl = 0
-    for r in norms.select("norm_bytes", "sum_dl").collect():
-        arr = np.frombuffer(r["norm_bytes"], dtype=np.uint8)
-        total_docs += int((arr != 0).sum())
-        total_dl += int(r["sum_dl"])
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def nonzero_bytes(b: pd.Series) -> pd.Series:
+        return b.map(
+            lambda x: int((np.frombuffer(x, dtype=np.uint8) != 0).sum())
+        )
+
+    row = (
+        norms.select(
+            nonzero_bytes(F.col("norm_bytes")).alias("n_nonzero"),
+            F.col("sum_dl"),
+        )
+        .agg(
+            F.coalesce(F.sum("n_nonzero"), F.lit(0)).alias("docs"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("dl"),
+        )
+        .collect()[0]
+    )
+    total_docs, total_dl = int(row["docs"]), int(row["dl"])
     return total_docs, (total_dl / total_docs if total_docs else 0.0)
 
 

@@ -176,10 +176,21 @@ class StreamingIndexer:
         man = self.read_manifest()
         return int(man.get("seg_size", self.seg_size))
 
+    def current_n_buckets(self) -> int:
+        """The CURRENT version's term-bucket count. Like seg_size this is
+        index layout, not construction state: WAND prunes file scans with
+        a bucket predicate derived from it, so a reader (or a reopened
+        indexer) that guessed the constructor default against an index
+        built with another bucket count would silently drop matching
+        postings. Persisted in every manifest since v1."""
+        man = self.read_manifest()
+        return int(man.get("n_buckets", self.n_buckets))
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         seg_size = self.current_seg_size()
+        n_buckets = self.current_n_buckets()
         docs, segs, norms = self.load_tables()
         docs_new, segs_new, norms_new, affected = incremental_update(
             docs,
@@ -187,7 +198,7 @@ class StreamingIndexer:
             norms,
             batch_df,
             seg_size=seg_size,
-            n_buckets=self.n_buckets,
+            n_buckets=n_buckets,
             text_col=self.text_col,
         )
         man = self.read_manifest()
@@ -217,7 +228,12 @@ class StreamingIndexer:
             new_tables[table] = carried
         self._manifest_path(v).write_text(
             json.dumps(
-                {"version": v, "seg_size": seg_size, "tables": new_tables}
+                {
+                    "version": v,
+                    "seg_size": seg_size,
+                    "n_buckets": n_buckets,
+                    "tables": new_tables,
+                }
             )
         )
         # publish only after every file group committed (_SUCCESS
@@ -277,7 +293,12 @@ class StreamingIndexer:
             )
         self._manifest_path(v).write_text(
             json.dumps(
-                {"version": v, "seg_size": new_size, "tables": new_tables}
+                {
+                    "version": v,
+                    "seg_size": new_size,
+                    "n_buckets": self.current_n_buckets(),
+                    "tables": new_tables,
+                }
             )
         )
         self._publish(v)
