@@ -725,6 +725,60 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal — REAL image decode: deterministic 8×8 RGB gradient
+    images (pixel = (doc_id·7 + r·3 + c·5 + ch·11) mod 256) are encoded
+    to binary PPM for even doc_ids and 24-bit BI_RGB BMP for odd ones,
+    then decoded by the pure-numpy parsers in textops/multimodal.py and
+    reduced to dimension + per-channel means. The oracle reconstructs
+    the same pixels arithmetically in SQL, so a green row proves the
+    PPM and BMP encode→decode roundtrips byte-exactly (a wrong stride,
+    row order, or channel order shifts the means)."""
+    import pandas as pd
+
+    from alix_spark.textops.multimodal import (
+        decode_image_stats,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    docs = load_documents(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                r = np.arange(8).reshape(8, 1, 1)
+                c = np.arange(8).reshape(1, 8, 1)
+                ch = np.arange(3).reshape(1, 1, 3)
+                img = ((doc_id * 7 + r * 3 + c * 5 + ch * 11) % 256).astype(
+                    "uint8"
+                )
+                payload = (
+                    encode_ppm(img) if doc_id % 2 == 0 else encode_bmp(img)
+                )
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return (
+        decode_image_stats(media)
+        .select(
+            "doc_id",
+            "fmt",
+            "height",
+            "width",
+            F.round("mean_r", 4).alias("mean_r"),
+            F.round("mean_g", 4).alias("mean_g"),
+            F.round("mean_b", 4).alias("mean_b"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text analysis — stopword-marker language ID (marker-count argmax,
     ties to the alphabetically first language)."""
@@ -885,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1753,6 +1808,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(CAST(c6 / tot AS FLOAT) AS DOUBLE), 4) AS f6,
                    ROUND(CAST(CAST(c7 / tot AS FLOAT) AS DOUBLE), 4) AS f7
             FROM h ORDER BY doc_id
+        """,
+        "multimodal_decode": """
+            -- independent pixel reconstruction: the Spark side ENCODES
+            -- each 8x8 gradient image to PPM (even doc_id) or BMP (odd)
+            -- and DECODES it with the pure-numpy parsers; this oracle
+            -- recomputes the per-channel means from the generating
+            -- formula alone, so any stride/row-order/channel-order bug
+            -- in the codec roundtrip breaks the match
+            WITH px AS (
+              SELECT d.doc_id, ch.ch,
+                     AVG(CAST((d.doc_id * 7 + r.r * 3 + c.c * 5
+                               + ch.ch * 11) % 256 AS DOUBLE)) AS m
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range(8)) AS r) r
+              CROSS JOIN (SELECT unnest(range(8)) AS c) c
+              CROSS JOIN (SELECT unnest(range(3)) AS ch) ch
+              GROUP BY d.doc_id, ch.ch)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+                   CAST(8 AS INTEGER) AS height,
+                   CAST(8 AS INTEGER) AS width,
+                   ROUND(MAX(CASE WHEN ch = 0 THEN m END), 4) AS mean_r,
+                   ROUND(MAX(CASE WHEN ch = 1 THEN m END), 4) AS mean_g,
+                   ROUND(MAX(CASE WHEN ch = 2 THEN m END), 4) AS mean_b
+            FROM px GROUP BY doc_id ORDER BY doc_id
         """,
         "kwic": f"""
             WITH hits AS (

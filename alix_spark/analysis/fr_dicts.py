@@ -24,6 +24,11 @@ UNKNOWN = 0x00
 VERB = 0x10
 SUB = 0x20  # substantive (noun)
 NAME = 0x30  # proper name
+NAME_PERS = 0x31  # person (Tag.NAMEpers)
+NAME_PERS_M = 0x32  # masculine forename (Tag.NAMEpersm)
+NAME_PERS_F = 0x33  # feminine forename (Tag.NAMEpersf)
+NAME_PLACE = 0x34  # place (Tag.NAMEplace)
+NAME_AUTHOR = 0x38  # author (Tag.NAMEauthor)
 ADJ = 0x50
 ADV = 0x51  # same group nibble as ADJ, as in the reference
 DET = 0x60
@@ -128,8 +133,9 @@ NORM: dict[str, str] = {
     "Etre": "Être",
 }
 
-# proper names: graph → (tag, orth)
-NAMES: dict[str, tuple[int, str | None]] = {
+# compact proper names: graph → (tag, orth); merged below with the
+# full curated lists of fr_names.py (compact entries win)
+_NAMES_COMPACT: dict[str, tuple[int, str | None]] = {
     "Victor": (NAME, None),
     "Hugo": (NAME, None),
     "Jean": (NAME, None),
@@ -139,14 +145,6 @@ NAMES: dict[str, tuple[int, str | None]] = {
     "Zola": (NAME, None),
     "La": (NAME, None),  # as in "La Salle" (particle-capitalized)
     "Salle": (NAME, None),
-}
-
-STOP: set[str] = {
-    "le", "la", "les", "un", "une", "des", "de", "du", "au", "ce", "cette",
-    "ces", "je", "tu", "il", "elle", "nous", "vous", "ils", "qui", "que",
-    "et", "ou", "ne", "pas", "plus", "dans", "sur", "avec", "pour", "en",
-    "par", "si", "mais", "être", "avoir", "faire", "est", "sont", "a",
-    "ont", "très", "bien", "tout", "alors", "moi", "toi", "parce que",
 }
 
 # elision prefixes (ellision.csv analogue). The reference tokenizer
@@ -183,12 +181,14 @@ BREVIDOT: dict[str, str] = {
     "St.": "St", "cf.": "cf.", "etc.": "etc.", "p.": "p.", "t.": "t.",
 }
 
-# multi-word locutions (locutions.csv analogue):
+# compact multi-word locutions (locutions.csv analogue):
 # token-key tuple → (orth, tag, lemma). Keys are the per-token compound
 # keys the LocutionFilter walk produces — verb tokens keyed by LEMMA,
 # NUM tokens by "NUM", names and nouns by graph, the rest by orth
 # (LocutionFilter.java:145-172) — with elisions expanded (l' → le).
-LOCUTIONS: dict[tuple[str, ...], tuple[str, int, str | None]] = {
+# Merged below with the ~1,400 compiled entries of fr_locutions.py
+# (compact entries win).
+_LOCUTIONS_COMPACT: dict[tuple[str, ...], tuple[str, int, str | None]] = {
     ("parce", "que"): ("parce que", CONJ, None),
     ("avoir", "le", "air"): ("avoir l'air", VERB, None),
     ("tout", "à", "coup"): ("tout à coup", ADV, None),
@@ -206,11 +206,46 @@ PARTICLES: set[str] = {
 }
 
 
+# -- merge the full-size generated/curated dictionaries --------------- #
+# STOP / NAMES / LOCUTIONS are built LAZILY on first access (PEP 562):
+# fr_stop and fr_locutions pull the generated lexicon, whose module
+# imports this one for the tag constants — a module-level build here
+# would close an import cycle whenever fr_lexicon is imported first.
+# The first attribute access happens after every module in the cycle
+# has finished initializing, and the result is cached in globals().
+
+
+def __getattr__(name: str):
+    if name == "STOP":
+        from alix_spark.analysis.fr_stop import build_stop
+
+        globals()["STOP"] = build_stop()
+        return globals()["STOP"]
+    if name == "NAMES":
+        from alix_spark.analysis.fr_names import build_names
+
+        globals()["NAMES"] = {**build_names(), **_NAMES_COMPACT}
+        return globals()["NAMES"]
+    if name == "LOCUTIONS":
+        from alix_spark.analysis.fr_locutions import build_locutions
+
+        globals()["LOCUTIONS"] = {
+            **build_locutions(),
+            **_LOCUTIONS_COMPACT,
+        }
+        return globals()["LOCUTIONS"]
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 def build_locution_trie() -> dict:
     """LOCUTIONS as a nested-dict prefix trie: the TREELOC analogue
     (``FrDics.java:323-343``). Leaf marker key: '$' → (orth, tag, lem)."""
+    import sys
+
+    # attribute access (not a bare global) so the lazy __getattr__ fires
+    locutions = sys.modules[__name__].LOCUTIONS
     trie: dict = {}
-    for toks, payload in LOCUTIONS.items():
+    for toks, payload in locutions.items():
         node = trie
         for t in toks:
             node = node.setdefault(t, {})

@@ -1,0 +1,141 @@
+"""Proper-name dictionaries, curated from public knowledge.
+
+The reference loads six name CSVs — forenames, communes, places,
+authors, misc names — into its NAMES map
+(``/root/reference/java/alix/lucene/analysis/FrDics.java:134-155``),
+thousands of entries. This module reconstructs the same SHAPE at a
+useful scale from enumerable public knowledge: classic French given
+names, major French cities, countries and regions in their French
+forms, and canonical French-literature authors. The lemmatizer keeps
+capitalization and sub-tags these (NAMEpers / NAMEplace / NAMEauthor
+groups), instead of falling back to the inferred generic NAME.
+"""
+
+from __future__ import annotations
+
+from alix_spark.analysis import fr_dicts as D
+
+FORENAMES_M = """
+Adrien Alain Albert Alexandre Alfred Alphonse André Antoine Armand
+Arnaud Arthur Auguste Augustin Aurélien Baptiste Barthélemy Benjamin
+Benoît Bernard Bertrand Blaise Bruno Camille Charles Christian
+Christophe Claude Clément Cyrille Damien Daniel David Denis Didier
+Dominique Edmond Édouard Émile Emmanuel Éric Ernest Étienne Eugène
+Fabien Fabrice Félix Ferdinand Fernand Florent Francis François
+Frédéric Gabriel Gaspard Gaston Gauthier Geoffroy Georges Gérard
+Germain Gilbert Gilles Grégoire Guillaume Gustave Guy Hector Henri
+Hervé Honoré Hubert Hugues Isidore Jacques Jean Jérôme Joseph Jules
+Julien Laurent Léon Léonard Louis Luc Lucien Marc Marcel Martin
+Mathieu Matthieu Maurice Maxime Michel Nicolas Noël Olivier Pascal
+Patrice Patrick Paul Philippe Pierre Raoul Raymond Rémi René Richard
+Robert Roger Roland Romain Samuel Sébastien Serge Simon Stéphane
+Sylvain Théodore Théophile Thibault Thierry Thomas Timothée Tristan
+Valentin Victor Vincent Xavier Yves
+"""
+
+FORENAMES_F = """
+Adèle Adrienne Agathe Agnès Aimée Albertine Alice Aline Amélie
+Anaïs Andrée Angèle Anne Annette Antoinette Apolline Ariane Armande
+Augustine Aurélie Aurore Barbe Béatrice Berthe Blanche Brigitte
+Camille0 Caroline Catherine Cécile Céleste Céline Charlotte Christine
+Claire Clémence Clotilde Colette Constance Coralie Corinne Danielle
+Delphine Denise Diane Dorothée Édith Éléonore Éliane Élisabeth Élise
+Élodie Émilie Emma Estelle Eugénie Ève Fanny Félicité Fernande
+Flore Florence Françoise Gabrielle Geneviève Germaine Gertrude
+Gisèle Hélène Henriette Hortense Inès Irène Isabelle Jacqueline
+Jeanne Joséphine Judith Julie Juliette Justine Laure Laurence Léa
+Léonie Louise Lucie Lucienne Madeleine Marguerite Marie Marion
+Marthe Mathilde Mélanie Michèle Monique Nadine Nathalie Nicole
+Noémie Odette Odile Pauline Perrine Renée Rosalie Rose Sabine
+Sandrine Simone Solange Sophie Stéphanie Suzanne Sylvie Thérèse
+Valentine Valérie Véronique Victoire Violette Virginie Yvette Yvonne
+"""
+
+CITIES = """
+Paris Marseille Lyon Toulouse Nice Nantes Montpellier Strasbourg
+Bordeaux Lille Rennes Reims Toulon Grenoble Dijon Angers Nîmes
+Villeurbanne Clermont-Ferrand Aix-en-Provence Brest Tours Amiens
+Limoges Annecy Perpignan Besançon Metz Orléans Rouen Mulhouse Caen
+Nancy Argenteuil Montreuil Roubaix Tourcoing Avignon Poitiers
+Versailles Courbevoie Créteil Pau Colombes Vitry-sur-Seine
+La_Rochelle Calais Cannes Antibes Béziers Colmar Bourges Mérignac
+Saint-Denis Saint-Étienne Saint-Malo Saint-Nazaire Chartres Bayonne
+Valence Quimper Troyes Lorient Niort Chambéry Montauban Arles
+Carcassonne Albi Agen Tarbes Auch Rodez Cahors Périgueux Angoulême
+Vannes Laval Alençon Évreux Beauvais Compiègne Soissons Laon
+Charleville-Mézières Verdun Épinal Belfort Vesoul Mâcon Auxerre
+Nevers Moulins Vichy Aurillac Mende Gap Digne Draguignan Bastia
+Ajaccio Fontainebleau Meaux Melun Provins Senlis Chantilly Deauville
+Honfleur Étretat Dieppe Cherbourg Biarritz Arcachon Royan Menton
+Grasse Vence Cassis Sète Narbonne Castres Millau Figeac Sarlat
+"""
+
+PLACES = """
+France Allemagne Angleterre Espagne Italie Portugal Belgique Suisse
+Autriche Hongrie Pologne Russie Grèce Turquie Égypte Maroc Algérie
+Tunisie Sénégal Canada Québec Brésil Argentine Mexique Chine Japon
+Inde Perse Arabie Syrie Liban Palestine Israël Irlande Écosse
+Norvège Suède Danemark Finlande Islande Hollande Bohême Bavière
+Prusse Flandre Bourgogne Bretagne Normandie Provence Gascogne
+Languedoc Auvergne Savoie Alsace Lorraine Picardie Champagne Anjou
+Touraine Berry Poitou Limousin Roussillon Dauphiné Vendée Corse
+Europe Asie Afrique Amérique Océanie
+Seine Loire Rhône Garonne Rhin Danube Nil Amazone
+Alpes Pyrénées Vosges Jura Ardennes Cévennes
+Méditerranée Atlantique Manche
+Londres Rome Madrid Lisbonne Berlin Vienne Genève Bruxelles
+Amsterdam Moscou Athènes Venise Florence Naples Milan Turin
+Barcelone Séville Munich Hambourg Prague Varsovie Budapest
+Constantinople Jérusalem Alexandrie Alger Tunis Rabat Dakar
+New_York Montréal Pékin Tokyo
+"""
+
+AUTHORS = """
+Molière Racine Corneille Voltaire Rousseau Diderot Montesquieu
+Beaumarchais Chateaubriand Lamartine Vigny Musset Nerval Gautier
+Balzac Stendhal Mérimée Sand Flaubert Baudelaire Verlaine Rimbaud
+Mallarmé Zola Maupassant Daudet Huysmans Loti France0 Proust Gide
+Claudel Valéry Apollinaire Colette0 Mauriac Bernanos Malraux Céline0
+Sartre Camus Beauvoir Aragon Éluard Breton Cocteau Anouilh Ionesco
+Beckett Queneau Perec Duras Yourcenar Gracq Char Ponge Michaux
+Montaigne Rabelais Ronsard Villon Pascal0 Descartes La_Fontaine
+La_Bruyère La_Rochefoucauld Bossuet Fénelon Marivaux Prévost
+Restif Laclos Chénier Hugo Dumas Labiche Feydeau Rostand Péguy
+Barrès Giraudoux Giono Pagnol Simenon Gary Modiano Le_Clézio Tournier
+"""
+
+
+def _put(
+    out: dict[str, tuple[int, str | None]], block: str, tag: int
+) -> None:
+    for w in block.split():
+        # authoring markers: a '0' suffix disambiguates duplicates
+        # across blocks (France place vs France0 author surname) —
+        # strip it, first block wins. An '_' joins multi-word names;
+        # only the SURNAME token (last part) enters the dictionary —
+        # the particle ("La", "Le", "New") must NOT become a standalone
+        # name or every sentence-initial article would tag NAME; the
+        # persname joiner reassembles the full form at match time.
+        w = w.rstrip("0")
+        if "_" in w:
+            w = w.rsplit("_", 1)[1]
+        out.setdefault(w, (tag, None))
+
+
+def build_names() -> dict[str, tuple[int, str | None]]:
+    """graph → (tag, orth) for the lemmatizer's NAMES lookup. Multi-word
+    entries (La Fontaine, New York) additionally rely on the persname
+    joiner at match time; their single tokens are what the dictionary
+    keys here (the reference's name CSVs also feed multi-token entries
+    to the compound tree — ours go through LOCUTIONS if needed)."""
+    out: dict[str, tuple[int, str | None]] = {}
+    # places first, then persons (the reference loads communes before
+    # person names: "Molière is also a village, but not very common" —
+    # FrDics.java:133-134 — we invert deliberately: author names win
+    # over homonym villages, then cities, then countries, forenames last)
+    _put(out, AUTHORS, D.NAME_AUTHOR)
+    _put(out, CITIES, D.NAME_PLACE)
+    _put(out, PLACES, D.NAME_PLACE)
+    _put(out, FORENAMES_M, D.NAME_PERS_M)
+    _put(out, FORENAMES_F, D.NAME_PERS_F)
+    return out

@@ -440,6 +440,11 @@ def lemmatize(
 _TRIE = D.build_locution_trie()
 
 
+# past participles never keyed as their verb lemma — the reference's
+# "parti pris" guard (LocutionFilter.java:73-77)
+_ORTH_NOT_VERB = {"pris", "prise'", "prises"}
+
+
 def _loc_key(t: Token) -> str:
     """The compound key contributed by one token
     (LocutionFilter.java:145-172): NUM → "NUM", verbs by lemma, names
@@ -447,6 +452,8 @@ def _loc_key(t: Token) -> str:
     g = D.group(t.tag)
     if g == D.NUM:
         return "NUM"
+    if t.orth and t.orth in _ORTH_NOT_VERB:
+        return t.orth
     if t.lemma and g == D.VERB:
         return t.lemma
     if g in (D.NAME, D.SUB):

@@ -64,6 +64,7 @@ class StreamingIndexer:
         text_col: str = "content",
         retain_versions: int = 3,
         clear_cache_after_batch: bool = True,
+        segs_per_shard: int | None = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -71,6 +72,14 @@ class StreamingIndexer:
         self.n_buckets = n_buckets
         self.text_col = text_col
         self.retain_versions = retain_versions
+        # manifest-list sharding (the Iceberg manifest/manifest-list
+        # structure): entries live in per-seg-range SHARD files under
+        # mdata/, the version manifest only lists shard paths, and a
+        # publish rewrites ONLY shards containing affected segments —
+        # untouched shards carry over by reference, so the manifest
+        # write cost is O(touched), not O(total segments). None = the
+        # inline single-JSON manifest (fine to ~10^6 segments).
+        self.segs_per_shard = segs_per_shard
         # id assignment persists its range-shuffled partitions so both
         # consumers of a batch (docs write + segment rebuild) see ONE
         # boundary draw; once the version is published those cached
@@ -99,24 +108,42 @@ class StreamingIndexer:
     def _manifest_path(self, version: int) -> Path:
         return Path(self.index_dir) / f"v{version}.json"
 
-    def read_manifest(self, version: int | None = None) -> dict:
-        """The manifest of ``version`` (default CURRENT): ``tables`` maps
-        table -> {seg_id(str) -> relative file-group path}."""
+    def _read_raw(self, version: int | None = None) -> dict:
+        """The version manifest as stored — either inline ``tables`` or
+        a ``shards`` manifest-list. Scalar metadata (seg_size,
+        n_buckets) reads from here without touching any shard."""
         v = self.current_version() if version is None else version
         if v == 0:
             return {"version": 0, "tables": {t: {} for t in TABLES}}
         return json.loads(self._manifest_path(v).read_text())
+
+    def read_manifest(self, version: int | None = None) -> dict:
+        """The manifest of ``version`` (default CURRENT) with shards
+        resolved: ``tables`` maps table -> {seg_id(str) -> relative
+        file-group path}."""
+        man = self._read_raw(version)
+        if "shards" in man:
+            tables: dict = {t: {} for t in TABLES}
+            for t, shard_map in man["shards"].items():
+                for rel in shard_map.values():
+                    tables[t].update(
+                        json.loads((Path(self.index_dir) / rel).read_text())
+                    )
+            man = {**man, "tables": tables}
+        return man
 
     def load_tables(self) -> tuple[DataFrame, DataFrame, DataFrame]:
         """(docs, segments, norms) of the CURRENT version; empty frames
         with the right schemas before the first publish. Each table is a
         single multi-path parquet scan over exactly the file groups its
         manifest references — no version-copy is ever materialized."""
-        # NOTE on manifest size: one JSON entry per (table, segment).
-        # At 8192-doc segments, even 10^10 docs is ~1.2M entries/table
-        # (~100 MB JSON) — readable, but beyond that the manifest itself
-        # should shard (a manifest-list level, as Iceberg does); the
-        # read path below (multi-path parquet scan) is unchanged by that.
+        # NOTE on manifest size: one entry per (table, segment). The
+        # inline mode (segs_per_shard=None) holds them in one JSON —
+        # readable to ~10^6 segments. Beyond that, construct with
+        # segs_per_shard set: entries shard into per-seg-range files
+        # with O(touched)-shard rewrites per publish (the Iceberg
+        # manifest-list structure; tests/test_streaming_ingest.py
+        # asserts the reuse). The read path below is unchanged.
         man = self.read_manifest()
         out = []
         schemas = {
@@ -173,7 +200,7 @@ class StreamingIndexer:
     def current_seg_size(self) -> int:
         """The CURRENT version's segment granularity — compaction doubles
         it, so it is version metadata, not indexer construction state."""
-        man = self.read_manifest()
+        man = self._read_raw()
         return int(man.get("seg_size", self.seg_size))
 
     def current_n_buckets(self) -> int:
@@ -183,8 +210,56 @@ class StreamingIndexer:
         indexer) that guessed the constructor default against an index
         built with another bucket count would silently drop matching
         postings. Persisted in every manifest since v1."""
-        man = self.read_manifest()
+        man = self._read_raw()
         return int(man.get("n_buckets", self.n_buckets))
+
+    def _write_manifest(
+        self,
+        v: int,
+        seg_size: int,
+        n_buckets: int,
+        tables: dict,
+        affected: list[int] | None,
+    ) -> None:
+        """Write version ``v``'s manifest. Inline mode stores the
+        (table -> seg -> path) map in the version file; shard mode
+        splits it into per-seg-range shard files and rewrites ONLY the
+        shards whose range intersects ``affected`` — every other shard
+        is carried from the previous version's manifest-list by
+        reference (affected=None forces a full rewrite: compaction)."""
+        man: dict = {"version": v, "seg_size": seg_size, "n_buckets": n_buckets}
+        if self.segs_per_shard is None:
+            man["tables"] = tables
+        else:
+            span = self.segs_per_shard
+            prev_shards = self._read_raw().get("shards", {})
+            dirty = (
+                None
+                if affected is None
+                else {int(s) // span for s in affected}
+            )
+            mdata = Path(self.index_dir) / "mdata"
+            mdata.mkdir(exist_ok=True)
+            shards_out: dict = {}
+            for t in TABLES:
+                by_idx: dict[int, dict] = {}
+                for s, p in tables.get(t, {}).items():
+                    by_idx.setdefault(int(s) // span, {})[s] = p
+                prev_t = prev_shards.get(t, {})
+                tmap: dict[str, str] = {}
+                for idx, entries in by_idx.items():
+                    key = str(idx)
+                    if dirty is not None and key in prev_t and idx not in dirty:
+                        tmap[key] = prev_t[key]  # untouched: by reference
+                    else:
+                        rel = f"mdata/shard-{t}-{idx}-v{v}.json"
+                        (Path(self.index_dir) / rel).write_text(
+                            json.dumps(entries)
+                        )
+                        tmap[key] = rel
+                shards_out[t] = tmap
+            man["shards"] = shards_out
+        self._manifest_path(v).write_text(json.dumps(man))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -226,16 +301,7 @@ class StreamingIndexer:
             }
             carried.update(written)
             new_tables[table] = carried
-        self._manifest_path(v).write_text(
-            json.dumps(
-                {
-                    "version": v,
-                    "seg_size": seg_size,
-                    "n_buckets": n_buckets,
-                    "tables": new_tables,
-                }
-            )
-        )
+        self._write_manifest(v, seg_size, n_buckets, new_tables, affected)
         # publish only after every file group committed (_SUCCESS
         # markers): a crash mid-batch leaves CURRENT on the previous good
         # version, whose file groups GC never touches
@@ -291,15 +357,8 @@ class StreamingIndexer:
             new_tables[table] = self._write_affected(
                 df, table, seg_col, v, all_segs
             )
-        self._manifest_path(v).write_text(
-            json.dumps(
-                {
-                    "version": v,
-                    "seg_size": new_size,
-                    "n_buckets": self.current_n_buckets(),
-                    "tables": new_tables,
-                }
-            )
+        self._write_manifest(
+            v, new_size, self.current_n_buckets(), new_tables, None
         )
         self._publish(v)
         self.gc()
@@ -316,11 +375,14 @@ class StreamingIndexer:
             return []
         low = max(1, cur - self.retain_versions + 1)
         referenced: set[str] = set()
+        referenced_shards: set[str] = set()
         for v in range(low, cur + 1):
-            mp = self._manifest_path(v)
-            if not mp.exists():
+            if not self._manifest_path(v).exists():
                 continue
-            man = json.loads(mp.read_text())
+            raw = self._read_raw(v)
+            for shard_map in raw.get("shards", {}).values():
+                referenced_shards.update(shard_map.values())
+            man = self.read_manifest(v)
             for t in TABLES:
                 referenced.update(man["tables"][t].values())
         removed = []
@@ -329,6 +391,13 @@ class StreamingIndexer:
             if mp.exists():
                 mp.unlink()
                 removed.append(mp.name)
+        mdata = Path(self.index_dir) / "mdata"
+        if mdata.exists():
+            for shard in sorted(mdata.iterdir()):
+                rel = str(shard.relative_to(Path(self.index_dir)))
+                if rel not in referenced_shards:
+                    shard.unlink()
+                    removed.append(rel)
         data = Path(self.index_dir) / "data"
         if data.exists():
             for gen_dir in sorted(data.iterdir()):

@@ -418,3 +418,88 @@ def test_index_reader_opens_streaming_manifest(spark, tmp_path):
     ix.process_batch(
         _rows(spark, [("o/r", "f0", "c2", "py", "rewritten entirely")]), 1)
     assert rd.search("fast join", k=5).count() == 5
+
+
+@pytest.fixture(scope="module")
+def sharded(spark, tmp_path_factory):
+    """The same three micro-batch scenario as `manifested`, but with
+    manifest-list sharding forced low (segs_per_shard=4): 7 segments →
+    shards {0: segs 0-3, 1: segs 4-6} per table."""
+    idx = tmp_path_factory.mktemp("sharded_idx")
+    ix = StreamingIndexer(
+        spark, str(idx), seg_size=8, retain_versions=2, segs_per_shard=4
+    )
+    b1 = _rows(
+        spark,
+        [
+            (f"org/r{i % 3}", f"src/f{i}.py", "c1", "py",
+             f"alpha beta tok{i} delta")
+            for i in range(50)
+        ],
+    )
+    b2 = _rows(
+        spark,
+        [("org/r0", "src/f0.py", "c2", "py", "updated zeta")]
+        + [("zzz/new", f"src/n{i}.py", "c2", "py", "fresh theta")
+           for i in range(5)],
+    )
+    b3 = _rows(spark, [("org/r0", "src/f27.py", "c3", "py", "updated eta")])
+    raws = {}
+    for bid, b in enumerate((b1, b2, b3)):
+        ix.process_batch(b, bid)
+        v = ix.current_version()
+        raws[v] = ix._read_raw(v)
+    return ix, raws
+
+
+def test_sharded_manifest_publish_is_o_touched(sharded):
+    """batch2 touches segs {0, 6} → shard 0 (segs 0-3) and shard 1
+    (segs 4-6) are both dirty and rewritten; batch3 touches seg 3 only →
+    shard 1 is carried BY REFERENCE (same shard file as v2), so the
+    manifest write cost follows touched segments, not total segments."""
+    ix, raws = sharded
+    assert "shards" in raws[1] and "tables" not in raws[1]
+    for t in ("docs", "segments", "norms"):
+        assert sorted(raws[1]["shards"][t]) == ["0", "1"]
+        # v3 (touched seg 3 → shard 0): shard 1 carried from v2
+        assert raws[3]["shards"][t]["1"] == raws[2]["shards"][t]["1"], t
+        assert raws[3]["shards"][t]["0"] != raws[2]["shards"][t]["0"], t
+        assert "v3" in raws[3]["shards"][t]["0"]
+
+
+def test_sharded_manifest_resolves_and_serves(sharded, spark):
+    """read_manifest resolves shards to the same (table → seg → path)
+    map shape; load_tables + search work identically off it."""
+    from alix_spark.index.reader import IndexReader
+
+    ix, _ = sharded
+    man = ix.read_manifest()
+    assert sorted(int(s) for s in man["tables"]["docs"]) == list(range(7))
+    docs, segs, norms = ix.load_tables()
+    assert docs.count() == 55
+    rd = IndexReader.open_streaming(spark, ix.index_dir)
+    hits = rd.search("alpha beta", k=5).collect()
+    assert len(hits) == 5 and all(r["score"] > 0 for r in hits)
+
+
+def test_sharded_manifest_gc_drops_orphan_shards(sharded):
+    """retain_versions=2 → v1's manifest AND its no-longer-referenced
+    shard files are deleted; every shard a retained manifest references
+    survives, and file-group GC semantics are unchanged."""
+    import os
+
+    ix, _ = sharded
+    assert ix.current_version() == 3
+    assert not os.path.exists(os.path.join(ix.index_dir, "v1.json"))
+    mdata = os.path.join(ix.index_dir, "mdata")
+    on_disk = set(os.listdir(mdata))
+    referenced = set()
+    for v in (2, 3):
+        for t, smap in ix._read_raw(v)["shards"].items():
+            referenced.update(p.split("/", 1)[1] for p in smap.values())
+    assert on_disk == referenced, (on_disk, referenced)
+    # v1-only file groups are gone; still-referenced gen=1 groups live
+    assert not os.path.exists(
+        os.path.join(ix.index_dir, "data/gen=1/docs/seg=0")
+    )
+    assert os.path.exists(os.path.join(ix.index_dir, "data/gen=1/docs/seg=1"))

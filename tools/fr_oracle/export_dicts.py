@@ -41,6 +41,11 @@ TAG_NAME = {
     D.VERB: "VERB",
     D.SUB: "SUB",
     D.NAME: "NAME",
+    D.NAME_PERS: "NAMEpers",
+    D.NAME_PERS_M: "NAMEpersm",
+    D.NAME_PERS_F: "NAMEpersf",
+    D.NAME_PLACE: "NAMEplace",
+    D.NAME_AUTHOR: "NAMEauthor",
     D.ADJ: "ADJ",
     D.ADV: "ADV",
     D.DET: "DET",
