@@ -125,6 +125,97 @@ WORDS: dict[str, tuple[int, str | None, str | None]] = {
     "bien": (ADV, None, "bien"), "tout": (ADV, None, "tout"),
 }
 
+# the remaining closed-class function words (complete paradigms the
+# generated lexicon doesn't cover: possessives, demonstratives, the
+# full pronoun inventory, prepositions, conjunctions, core adverbs) —
+# textbook closed classes, tagged and lemmatized
+_FUNCTION_WORDS: dict[str, tuple[int, str | None, str | None]] = {
+    # tout paradigm + determiners
+    "toute": (DET, None, "tout"), "tous": (DET, None, "tout"),
+    "toutes": (DET, None, "tout"),
+    "aux": (DET, None, "au"), "cet": (DET, None, "ce"),
+    "quel": (DET, None, "quel"), "quelle": (DET, None, "quel"),
+    "quels": (DET, None, "quel"), "quelles": (DET, None, "quel"),
+    "quelque": (DET, None, "quelque"), "quelques": (DET, None, "quelque"),
+    "chaque": (DET, None, "chaque"), "plusieurs": (DET, None, "plusieurs"),
+    "aucun": (DET, None, "aucun"), "aucune": (DET, None, "aucun"),
+    "certains": (DET, None, "certain"), "certaines": (DET, None, "certain"),
+    # possessives
+    "mon": (DET, None, "mon"), "ma": (DET, None, "mon"),
+    "mes": (DET, None, "mon"), "ton": (DET, None, "ton"),
+    "ta": (DET, None, "ton"), "tes": (DET, None, "ton"),
+    "son": (DET, None, "son"), "sa": (DET, None, "son"),
+    "ses": (DET, None, "son"), "notre": (DET, None, "notre"),
+    "nos": (DET, None, "notre"), "votre": (DET, None, "votre"),
+    "vos": (DET, None, "votre"), "leurs": (DET, None, "leur"),
+    # pronouns
+    "elles": (PRO, None, "il"), "on": (PRO, None, "on"),
+    "me": (PRO, None, "me"), "te": (PRO, None, "te"),
+    "se": (PRO, None, "se"), "soi": (PRO, None, "soi"),
+    "lui": (PRO, None, "lui"), "eux": (PRO, None, "eux"),
+    "y": (PRO, None, "y"),
+    "celui": (PRO, None, "celui"), "celle": (PRO, None, "celui"),
+    "ceux": (PRO, None, "celui"), "celles": (PRO, None, "celui"),
+    "ceci": (PRO, None, "ceci"), "cela": (PRO, None, "cela"),
+    "ça": (PRO, None, "cela"), "rien": (PRO, None, "rien"),
+    "personne": (PRO, None, "personne"), "chacun": (PRO, None, "chacun"),
+    "chacune": (PRO, None, "chacun"), "quoi": (PRO, None, "quoi"),
+    "dont": (PRO, None, "dont"), "où": (PRO, None, "où"),
+    "lequel": (PRO, None, "lequel"), "laquelle": (PRO, None, "lequel"),
+    "lesquels": (PRO, None, "lequel"), "lesquelles": (PRO, None, "lequel"),
+    # prepositions
+    "à": (PREP, None, "à"), "vers": (PREP, None, "vers"),
+    "sous": (PREP, None, "sous"), "sans": (PREP, None, "sans"),
+    "chez": (PREP, None, "chez"), "entre": (PREP, None, "entre"),
+    "derrière": (PREP, None, "derrière"), "devant": (PREP, None, "devant"),
+    "depuis": (PREP, None, "depuis"), "pendant": (PREP, None, "pendant"),
+    "durant": (PREP, None, "durant"), "avant": (PREP, None, "avant"),
+    "après": (ADV, None, "après"), "contre": (PREP, None, "contre"),
+    "dès": (PREP, None, "dès"), "envers": (PREP, None, "envers"),
+    "malgré": (PREP, None, "malgré"), "parmi": (PREP, None, "parmi"),
+    "sauf": (PREP, None, "sauf"), "selon": (PREP, None, "selon"),
+    "hors": (PREP, None, "hors"), "jusque": (PREP, None, "jusque"),
+    # conjunctions
+    "donc": (CONJ, None, "donc"), "or": (CONJ, None, "or"),
+    "ni": (CONJ, None, "ni"), "car": (CONJ, None, "car"),
+    "comme": (CONJ, None, "comme"), "quand": (CONJ, None, "quand"),
+    "lorsque": (CONJ, None, "lorsque"), "puisque": (CONJ, None, "puisque"),
+    "quoique": (CONJ, None, "quoique"),
+    # adverbs
+    "point": (ADV, None, "point"), "moins": (ADV, None, "moins"),
+    "trop": (ADV, None, "trop"), "peu": (ADV, None, "peu"),
+    "assez": (ADV, None, "assez"), "tant": (ADV, None, "tant"),
+    "tellement": (ADV, None, "tellement"), "autant": (ADV, None, "autant"),
+    "mal": (ADV, None, "mal"), "mieux": (ADV, None, "mieux"),
+    "beaucoup": (ADV, None, "beaucoup"), "encore": (ADV, None, "encore"),
+    "toujours": (ADV, None, "toujours"), "jamais": (ADV, None, "jamais"),
+    "souvent": (ADV, None, "souvent"), "parfois": (ADV, None, "parfois"),
+    "déjà": (ADV, None, "déjà"), "aussi": (ADV, None, "aussi"),
+    "ainsi": (ADV, None, "ainsi"), "presque": (ADV, None, "presque"),
+    "seulement": (ADV, None, "seulement"), "surtout": (ADV, None, "surtout"),
+    "vraiment": (ADV, None, "vraiment"),
+    "maintenant": (ADV, None, "maintenant"), "hier": (ADV, None, "hier"),
+    "demain": (ADV, None, "demain"), "bientôt": (ADV, None, "bientôt"),
+    "tôt": (ADV, None, "tôt"), "tard": (ADV, None, "tard"),
+    "longtemps": (ADV, None, "longtemps"), "ensuite": (ADV, None, "ensuite"),
+    "enfin": (ADV, None, "enfin"), "puis": (ADV, None, "puis"),
+    "ici": (ADV, None, "ici"), "là": (ADV, None, "là"),
+    "ailleurs": (ADV, None, "ailleurs"), "partout": (ADV, None, "partout"),
+    "dedans": (ADV, None, "dedans"), "dehors": (ADV, None, "dehors"),
+    "dessus": (ADV, None, "dessus"), "dessous": (ADV, None, "dessous"),
+    "loin": (ADV, None, "loin"), "près": (ADV, None, "près"),
+    "ensemble": (ADV, None, "ensemble"), "plutôt": (ADV, None, "plutôt"),
+    "également": (ADV, None, "également"), "oui": (ADV, None, "oui"),
+    "non": (ADV, None, "non"), "voilà": (ADV, None, "voilà"),
+    "voici": (ADV, None, "voici"), "pourquoi": (ADV, None, "pourquoi"),
+    "comment": (ADV, None, "comment"), "combien": (ADV, None, "combien"),
+    "cependant": (ADV, None, "cependant"),
+    "pourtant": (ADV, None, "pourtant"),
+    "toutefois": (ADV, None, "toutefois"),
+    "néanmoins": (ADV, None, "néanmoins"),
+}
+WORDS.update(_FUNCTION_WORDS)
+
 # graphic normalizations (caps/orth.csv analogue): graph → orth
 NORM: dict[str, str] = {
     "Etat": "État",

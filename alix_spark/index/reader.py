@@ -218,6 +218,14 @@ class IndexReader:
             )
         return out
 
+    def phrase(self, terms: list[str]) -> DataFrame:
+        """Exact-phrase matching → (doc_id, freq) off the positional
+        segments (requires an index built with positions — the default;
+        the reference's PhraseQuery path, ``Alix.java:154-165``)."""
+        from alix_spark.search.phrase import phrase_search
+
+        return phrase_search(self.segments, terms)
+
     def boolean_docs(self, q: str) -> DataFrame:
         """ALL doc ids matching the boolean semantics of ``q`` (no
         ranking, no k-cut) → (doc_id), served from decoded segment

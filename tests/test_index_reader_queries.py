@@ -99,6 +99,23 @@ def test_pure_negative_matches_all_minus_exclusions(corpus, persisted):
     assert got == exp
 
 
+def test_phrase_served_from_reader(corpus, persisted):
+    from alix_spark.search.phrase import phrase_search
+
+    segs, _ = seg_mod.split_single_pass(
+        seg_mod.build_single_pass(corpus.tokens, seg_size=64)
+    )
+    exp = sorted(
+        (r["doc_id"], r["freq"])
+        for r in phrase_search(segs, ["part", "filter"]).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["freq"])
+        for r in persisted.phrase(["part", "filter"]).collect()
+    )
+    assert got == exp and len(got) > 0
+
+
 def test_boolean_plan_has_no_tokenizer_and_no_docs_scan(persisted):
     """The served-from-index guarantee, pinned on the plan: segment
     decode (applyInPandas over the index parquet) may appear, but no
