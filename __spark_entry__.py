@@ -460,13 +460,21 @@ def q_paint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hilite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 — hilite every pivot occurrence (``<mark id=N>`` inserts,
-    Doc.java:493-542) over the persisted offsets table, reported as
-    per-doc html length. Oracle: per doc with n matches the overhead is
-    Σ_{i<n} (19 + digits(i)) — ``<mark id="`` (10) + ``">`` (2) +
-    ``</mark>`` (7) plus the id digits, growing with the within-doc
-    match ordinal."""
+    Doc.java:493-542) over the persisted offsets table. FULL-STRING
+    oracle: DuckDB reassembles the exact html (char-position scan for
+    the pivot's standalone occurrences → ordered text segments +
+    ``<mark id="i">…</mark>`` wraps → string_agg) and both sides report
+    its md5 — any offset, ordering, ordinal, or markup divergence
+    breaks the hash, not just the length arithmetic."""
+    import hashlib
+
     import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     from alix_spark.render.kwic import hilite
 
@@ -475,19 +483,29 @@ def q_hilite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", F.col("text").alias("_text"))
 
     schema = StructType(
-        [StructField("doc_id", LongType()), StructField("html_len", LongType())]
+        [
+            StructField("doc_id", LongType()),
+            StructField("html_len", LongType()),
+            StructField("html_md5", StringType()),
+        ]
     )
 
     def run(key, ddf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
         if ddf.empty:
-            return pd.DataFrame({"doc_id": [], "html_len": []}).astype(
-                {"doc_id": "int64", "html_len": "int64"}
-            )
+            return pd.DataFrame(
+                {"doc_id": [], "html_len": [], "html_md5": []}
+            ).astype({"doc_id": "int64", "html_len": "int64", "html_md5": "str"})
         text = ddf["_text"].iloc[0]
         html = hilite(text, list(zip(mdf["start"], mdf["end"])))
         return pd.DataFrame(
-            [(int(ddf["doc_id"].iloc[0]), len(html))],
-            columns=["doc_id", "html_len"],
+            [
+                (
+                    int(ddf["doc_id"].iloc[0]),
+                    len(html),
+                    hashlib.md5(html.encode("utf-8")).hexdigest(),
+                )
+            ],
+            columns=["doc_id", "html_len", "html_md5"],
         )
 
     return (
@@ -1866,20 +1884,52 @@ def oracle_sql() -> dict[str, str]:
                      x -> x <> '')) AS BIGINT) AS html_len
             FROM documents ORDER BY doc_id
         """,
-        "hilite": """
-            -- html = text + per-match '<mark id="i">…</mark>' inserts:
-            -- 19 chars + the digits of the within-doc match ordinal i
-            WITH {TOK_CTE},
-            m AS (SELECT doc_id, count(*) AS n FROM tok
-                  WHERE term = '{PIVOT}' GROUP BY doc_id)
+        "hilite": f"""
+            -- FULL-STRING reconstruction: find the pivot's standalone
+            -- occurrences by char-position scan (same boundary rules as
+            -- the kwic oracle), rebuild the exact html with ordered
+            -- '<mark id="i">…</mark>' wraps, and compare length + md5
+            WITH hits AS (
+              SELECT d.doc_id, d.text, u.i
+              FROM documents d,
+                   LATERAL (SELECT unnest(range(1, length(d.text) + 1)) AS i) u
+              WHERE lower(substr(d.text, CAST(u.i AS INT), {len(PIVOT)}))
+                      = '{PIVOT}'
+                AND (u.i = 1 OR NOT regexp_matches(
+                      substr(lower(d.text), CAST(u.i AS INT) - 1, 1),
+                      '[a-z0-9]'))
+                AND NOT regexp_matches(
+                      substr(lower(d.text), CAST(u.i AS INT) + {len(PIVOT)}, 1),
+                      '[a-z0-9]')
+            ),
+            ordered AS (
+              SELECT doc_id, text, i,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                       AS ord,
+                     lag(i + {len(PIVOT)}, 1, CAST(1 AS BIGINT))
+                       OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM hits),
+            pieces AS (
+              SELECT doc_id, ord, i,
+                     substr(text, CAST(prev AS INT), CAST(i - prev AS INT))
+                     || '<mark id="' || ord || '">'
+                     || substr(text, CAST(i AS INT), {len(PIVOT)})
+                     || '</mark>' AS piece
+              FROM ordered),
+            assembled AS (
+              SELECT p.doc_id,
+                     string_agg(p.piece, '' ORDER BY p.ord)
+                       || substr(d.text,
+                                 CAST(max(p.i + {len(PIVOT)}) AS INT)) AS html
+              FROM pieces p JOIN documents d USING (doc_id)
+              GROUP BY p.doc_id, d.text)
             SELECT d.doc_id,
-                   CAST(length(d.text) + COALESCE(list_sum(
-                     list_transform(range(0, m.n),
-                                    i -> 19 + length(CAST(i AS VARCHAR)))),
-                     0) AS BIGINT) AS html_len
-            FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+                   CAST(length(COALESCE(a.html, d.text)) AS BIGINT)
+                     AS html_len,
+                   md5(COALESCE(a.html, d.text)) AS html_md5
+            FROM documents d LEFT JOIN assembled a USING (doc_id)
             ORDER BY d.doc_id
-        """.format(TOK_CTE=TOK_CTE, PIVOT=PIVOT),
+        """,
         "contrast": f"""
             -- html = text with every token marked: shared-with-doc-0
             -- tokens wrap in <mark class="shared lvlN">…</mark> (33

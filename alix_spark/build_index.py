@@ -88,7 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     tokens = simple.tokenize(docs, "doc_id", args.text_col)
 
     postings = ctx.run_stage("postings", fp, lambda: ib.build_postings(tokens))
-    doc_lens = ctx.run_stage("doc_lens", fp, lambda: ib.build_doc_lens(tokens))
+    # doc_lens and forms both derive from the materialized postings
+    # stage (dl = Σ tf): one corpus tokenize+shuffle feeds all three
+    # tables instead of paying a second pass for lengths
+    doc_lens = ctx.run_stage(
+        "doc_lens", fp, lambda: ib.build_doc_lens_from_postings(postings)
+    )
     ctx.run_stage("forms", fp, lambda: ib.build_forms(postings))
 
     # offsets — term vectors with positions AND offsets, persisted so

@@ -55,6 +55,17 @@ def build_doc_lens(tokens: DataFrame) -> DataFrame:
     return tokens.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("dl"))
 
 
+def build_doc_lens_from_postings(postings: DataFrame) -> DataFrame:
+    """postings → (doc_id, dl). Row-identical to
+    :func:`build_doc_lens` (dl = Σ tf), but derived from the (much
+    smaller, already-materialized) postings table — a build pipeline
+    that has written postings never needs a second tokenize+shuffle
+    pass over the corpus for doc lengths."""
+    return postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("int").alias("dl")
+    )
+
+
 def build_forms(postings: DataFrame, assign_ids: bool = True) -> DataFrame:
     """postings → (form_id, term, occs, docs).
 

@@ -67,10 +67,18 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="alix_bench_idx_")
     c = Corpus(docs, cache=False)
 
+    from alix_spark.index import build as ib
+
     def build_index():
+        # one tokenize+shuffle (postings), then doc_lens and forms
+        # derive from the MATERIALIZED postings parquet — the
+        # build_index.py CLI stage shape (dl = Σ tf, row-identical)
         c.postings.write.mode("overwrite").parquet(f"{tmp}/postings")
-        c.doc_lens.write.mode("overwrite").parquet(f"{tmp}/doc_lens")
-        c.forms.write.mode("overwrite").parquet(f"{tmp}/forms")
+        p = spark.read.parquet(f"{tmp}/postings")
+        ib.build_doc_lens_from_postings(p).write.mode("overwrite").parquet(
+            f"{tmp}/doc_lens"
+        )
+        ib.build_forms(p).write.mode("overwrite").parquet(f"{tmp}/forms")
 
     timed("index_build", build_index)
     docs_per_sec = round(n_docs / timings["index_build"], 1)

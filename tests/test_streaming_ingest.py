@@ -503,3 +503,36 @@ def test_sharded_manifest_gc_drops_orphan_shards(sharded):
         os.path.join(ix.index_dir, "data/gen=1/docs/seg=0")
     )
     assert os.path.exists(os.path.join(ix.index_dir, "data/gen=1/docs/seg=1"))
+
+
+def test_sharded_manifest_compaction(spark, tmp_path):
+    """compact() on a sharded-manifest index: the merged version writes
+    a fresh full shard set (affected=None forces the rewrite), queries
+    stay identical, and GC eventually reclaims pre-compaction shards."""
+    from alix_spark.index.reader import IndexReader
+
+    ix = StreamingIndexer(
+        spark, str(tmp_path / "cidx"), seg_size=8, retain_versions=1,
+        segs_per_shard=2,
+    )
+    ix.process_batch(
+        _rows(spark, [("o/r", f"f{i}", "c1", "py",
+                       f"alpha beta tok{i} fast join")
+                      for i in range(30)]), 0)
+    before = IndexReader.open_streaming(spark, ix.index_dir)
+    exp = [(r["doc_id"], round(r["score"], 6))
+           for r in before.search("fast join", k=5).collect()]
+    v = ix.compact(group=2)
+    assert ix.current_seg_size() == 16 and v == 2
+    raw = ix._read_raw(v)
+    assert all(f"v{v}" in p for smap in raw["shards"].values()
+               for p in smap.values())
+    after = IndexReader.open_streaming(spark, ix.index_dir)
+    got = [(r["doc_id"], round(r["score"], 6))
+           for r in after.search("fast join", k=5).collect()]
+    assert got == exp
+    # retain_versions=1: only v2's shards remain on disk
+    import os
+
+    on_disk = set(os.listdir(os.path.join(ix.index_dir, "mdata")))
+    assert all("v2" in f for f in on_disk), on_disk
