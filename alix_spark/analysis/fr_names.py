@@ -106,19 +106,25 @@ Barrès Giraudoux Giono Pagnol Simenon Gary Modiano Le_Clézio Tournier
 
 
 def _put(
-    out: dict[str, tuple[int, str | None]], block: str, tag: int
+    out: dict[str, tuple[int, str | None]],
+    block: str,
+    tag: int,
+    deferred: list[tuple[str, int]],
 ) -> None:
     for w in block.split():
-        # authoring markers: a '0' suffix disambiguates duplicates
-        # across blocks (France place vs France0 author surname) —
-        # strip it, first block wins. An '_' joins multi-word names;
-        # only the SURNAME token (last part) enters the dictionary —
-        # the particle ("La", "Le", "New") must NOT become a standalone
-        # name or every sentence-initial article would tag NAME; the
-        # persname joiner reassembles the full form at match time.
-        w = w.rstrip("0")
+        # An '_' joins multi-word names; only the SURNAME token (last
+        # part) enters the dictionary — the particle ("La", "Le",
+        # "New") must NOT become a standalone name or every
+        # sentence-initial article would tag NAME; the persname joiner
+        # reassembles the full form at match time. A '0' suffix marks a
+        # LOWER-PRIORITY homograph reading (France0 the author surname
+        # vs France the country): it only lands if no other block
+        # claims the graph.
         if "_" in w:
             w = w.rsplit("_", 1)[1]
+        if w.endswith("0"):
+            deferred.append((w[:-1], tag))
+            continue
         out.setdefault(w, (tag, None))
 
 
@@ -129,13 +135,16 @@ def build_names() -> dict[str, tuple[int, str | None]]:
     keys here (the reference's name CSVs also feed multi-token entries
     to the compound tree — ours go through LOCUTIONS if needed)."""
     out: dict[str, tuple[int, str | None]] = {}
+    deferred: list[tuple[str, int]] = []
     # places first, then persons (the reference loads communes before
     # person names: "Molière is also a village, but not very common" —
     # FrDics.java:133-134 — we invert deliberately: author names win
     # over homonym villages, then cities, then countries, forenames last)
-    _put(out, AUTHORS, D.NAME_AUTHOR)
-    _put(out, CITIES, D.NAME_PLACE)
-    _put(out, PLACES, D.NAME_PLACE)
-    _put(out, FORENAMES_M, D.NAME_PERS_M)
-    _put(out, FORENAMES_F, D.NAME_PERS_F)
+    _put(out, AUTHORS, D.NAME_AUTHOR, deferred)
+    _put(out, CITIES, D.NAME_PLACE, deferred)
+    _put(out, PLACES, D.NAME_PLACE, deferred)
+    _put(out, FORENAMES_M, D.NAME_PERS_M, deferred)
+    _put(out, FORENAMES_F, D.NAME_PERS_F, deferred)
+    for w, tag in deferred:
+        out.setdefault(w, (tag, None))
     return out

@@ -188,10 +188,20 @@ class Corpus:
         MUST/MUST_NOT restrict the candidate set; all positive terms score.
         Mirrors the reference lifecycle in SURVEY.md §3.2.
         """
+        had_wildcards = bool(parsermod.parse(q).wildcards)
         parsed = self.parse(q)
         terms = parsed.positive_terms
         n, avgdl = self._stats
         if not terms and not parsed.must_not:
+            if had_wildcards:
+                # a wildcard that expanded to nothing matches nothing
+                # (an empty BooleanQuery in the reference), it is not a
+                # malformed query
+                return (
+                    self.doc_lens.select("doc_id")
+                    .withColumn("score", F.lit(0.0))
+                    .limit(0)
+                )
             raise ValueError(f"empty query: {q!r}")
         dfs = None
         if parsed.must or parsed.must_not:

@@ -261,12 +261,22 @@ class IndexReader:
         from alix_spark.search.parser import parse
 
         parsed = parse(q)
+        had_wildcards = bool(parsed.wildcards)
         if parsed.wildcards:
             parsed.should.extend(self.expand_wildcards(parsed.wildcards))
             parsed.wildcards = []
         terms = parsed.must + parsed.should
         if not parsed.must and not parsed.must_not:
             if not terms:
+                if had_wildcards:
+                    # a wildcard that expanded to nothing matches
+                    # nothing — not a malformed query
+                    return (
+                        self.doc_lens()
+                        .select("doc_id")
+                        .withColumn("score", F.lit(0.0))
+                        .limit(0)
+                    )
                 raise ValueError(f"empty query: {q!r}")
             return wand_mod.wand_topk(
                 self.segments,

@@ -99,6 +99,18 @@ def test_pure_negative_matches_all_minus_exclusions(corpus, persisted):
     assert got == exp
 
 
+def test_nomatch_wildcard_returns_empty_not_error(corpus, persisted):
+    """A wildcard that expands to nothing is an empty BooleanQuery
+    (matches nothing), not a malformed query; a truly empty string
+    still raises."""
+    assert persisted.search("zzzyx*", k=5).count() == 0
+    assert corpus.search("zzzyx*", k=5).count() == 0
+    with pytest.raises(ValueError):
+        persisted.search("", k=5)
+    with pytest.raises(ValueError):
+        corpus.search("", k=5)
+
+
 def test_phrase_served_from_reader(corpus, persisted):
     from alix_spark.search.phrase import phrase_search
 
