@@ -351,7 +351,10 @@ def tokenize_fr(text: str, skip_xml: bool = True) -> list[Token]:
                     flush(i + 1)
                     i += 1
                     continue
-            if len(term) >= MAX_TOKEN_LEN:
+            if len(term) > MAX_TOKEN_LEN:
+                # the reference tests the length BEFORE this append
+                # (FrTokenizer.java:207,439), so a capped token carries
+                # MAX_TOKEN_LEN+1 chars — parity-pinned off-by-one
                 flush(i + 1)
                 i += 1
                 continue

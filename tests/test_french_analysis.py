@@ -110,8 +110,10 @@ def test_offsets_preserved():
 
 
 def test_token_cap():
+    # the reference tests the cap BEFORE appending (FrTokenizer.java:207,
+    # 439), so a capped token carries MAX+1 chars — parity-pinned
     toks = tokenize_fr("a" * 1000)
-    assert len(toks[0].graph) == 256
+    assert len(toks[0].graph) == 257
 
 
 def test_xml_skipped():
