@@ -46,6 +46,24 @@ BM25_TERMS = ("fast", "join", "merge")
 BM25_IN = "('fast','join','merge')"
 PIVOT = "fast"
 
+# char-position scan finding EVERY simple-chain token (start position +
+# term) — the all-tokens generalization of the kwic oracle's single-term
+# scan, used by the full-string render oracles
+TOKSCAN_CTE = """starts AS (
+              SELECT d.doc_id, d.text, u.i,
+                     regexp_extract(substr(lower(d.text), CAST(u.i AS INT)),
+                                    '^[a-z0-9]+') AS term
+              FROM documents d,
+                   LATERAL (SELECT unnest(range(1, length(d.text) + 1))
+                            AS i) u
+              WHERE regexp_matches(
+                      substr(lower(d.text), CAST(u.i AS INT), 1),
+                      '^[a-z0-9]$')
+                AND (u.i = 1 OR NOT regexp_matches(
+                      substr(lower(d.text), CAST(u.i AS INT) - 1, 1),
+                      '^[a-z0-9]$'))
+            )"""
+
 # language-ID marker table, inlined into the DuckDB oracle
 from alix_spark.textops.quality import LANG_MARKERS as _LM
 
@@ -440,11 +458,11 @@ def q_rank_chi2inv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_paint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 — distributed full-text painting over the whole corpus (one
-    cogrouped pass over the PERSISTED offsets table), reported as per-doc
-    html length. Oracle: length(text) + 26 bytes of markup per token
-    (every <mark class="lvlN">…</mark> wrap is a constant 26 chars since
-    levels ≤ 9); markup semantics pinned by
-    tests/test_paint_collation_units.py and tests/test_render_distributed."""
+    cogrouped pass over the PERSISTED offsets table). FULL-STRING
+    oracle: DuckDB rebuilds the exact painted html — all-token char
+    scan, per-doc tf levels recomputed in the same exact integer
+    arithmetic as tf_level (largest k with (1+max_tf)^k ≤ (1+tf)^5),
+    ordered markup assembly — and both sides compare length + md5."""
     from alix_spark.render.paint import paint_docs
 
     docs = load_documents(spark, sf_dir)
@@ -452,7 +470,9 @@ def q_paint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         paint_docs(docs, token_table)
         .select(
-            "doc_id", F.length("html").cast("long").alias("html_len")
+            "doc_id",
+            F.length("html").cast("long").alias("html_len"),
+            F.md5(F.encode("html", "UTF-8")).alias("html_md5"),
         )
         .orderBy("doc_id")
     )
@@ -518,17 +538,21 @@ def q_hilite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 — every doc contrasted against doc 0 (shared vs specific
-    vocabulary hilite, ``Doc.java:354-439``), reported as per-doc html
-    length. Oracle: length(text) + 33 chars per token shared with doc
-    0's vocabulary + 30 per self-specific token (every token is in its
-    own doc's tf map, so all tokens get marked)."""
+    vocabulary hilite, ``Doc.java:354-439``). FULL-STRING oracle:
+    shared tokens' relative-frequency levels are exact integer division
+    ((5·a)//(a+b) with denominators cleared), so DuckDB rebuilds the
+    exact html and both sides compare length + md5."""
     from alix_spark.render.paint import contrast_docs
 
     docs = load_documents(spark, sf_dir)
     token_table = _offsets_table(spark, sf_dir)
     return (
         contrast_docs(docs, token_table, other_doc_id=0)
-        .select("doc_id", F.length("html").cast("long").alias("html_len"))
+        .select(
+            "doc_id",
+            F.length("html").cast("long").alias("html_len"),
+            F.md5(F.encode("html", "UTF-8")).alias("html_md5"),
+        )
         .orderBy("doc_id")
     )
 
@@ -1874,15 +1898,63 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, CAST(i + {len(PIVOT)} AS INT), 30) AS "right"
             FROM hits ORDER BY doc_id, start
         """,
-        "paint": """
-            -- html = text with every token wrapped <mark class="lvlN">
-            -- …</mark>: a constant 26-char overhead per token (N is one
-            -- digit at levels=6)
-            SELECT doc_id,
-                   CAST(length(text) + 26 * len(list_filter(
-                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '')) AS BIGINT) AS html_len
-            FROM documents ORDER BY doc_id
+        "paint": f"""
+            -- FULL-STRING reconstruction: scan every token start,
+            -- recompute the tf level in EXACT integer arithmetic
+            -- (largest k with (1+max_tf)^k <= (1+tf)^5 — tf_level's
+            -- float-free formulation), rebuild the exact painted html,
+            -- compare length + md5
+            WITH {TOKSCAN_CTE},
+            tf AS (SELECT doc_id, term, CAST(count(*) AS HUGEINT) AS tf
+                   FROM starts GROUP BY doc_id, term),
+            pw AS (SELECT doc_id, mx,
+                          (1+mx) AS m1, (1+mx)*(1+mx) AS m2,
+                          (1+mx)*(1+mx)*(1+mx) AS m3,
+                          (1+mx)*(1+mx)*(1+mx)*(1+mx) AS m4,
+                          (1+mx)*(1+mx)*(1+mx)*(1+mx)*(1+mx) AS m5
+                   FROM (SELECT doc_id, CAST(max(tf) AS HUGEINT) AS mx
+                         FROM tf GROUP BY doc_id)),
+            lv AS (SELECT t.doc_id, t.term,
+                          CASE WHEN p.mx <= 1 THEN 1 ELSE 1 + least(5,
+                              CASE WHEN p.m1 <= t.t5 THEN 1 ELSE 0 END
+                            + CASE WHEN p.m2 <= t.t5 THEN 1 ELSE 0 END
+                            + CASE WHEN p.m3 <= t.t5 THEN 1 ELSE 0 END
+                            + CASE WHEN p.m4 <= t.t5 THEN 1 ELSE 0 END
+                            + CASE WHEN p.m5 <= t.t5 THEN 1 ELSE 0 END)
+                          END AS lvl
+                   FROM (SELECT doc_id, term,
+                                (1+tf)*(1+tf)*(1+tf)*(1+tf)*(1+tf) AS t5
+                         FROM tf) t
+                   JOIN pw p USING (doc_id)),
+            ordered AS (
+              SELECT s.doc_id, s.text, s.i, s.term, l.lvl,
+                     row_number() OVER (PARTITION BY s.doc_id
+                                        ORDER BY s.i) AS ord,
+                     lag(s.i + length(s.term), 1, CAST(1 AS BIGINT))
+                       OVER (PARTITION BY s.doc_id ORDER BY s.i) AS prev
+              FROM starts s
+              JOIN lv l ON s.doc_id = l.doc_id AND s.term = l.term),
+            pieces AS (
+              SELECT doc_id, ord, i, term,
+                     substr(text, CAST(prev AS INT), CAST(i - prev AS INT))
+                     || '<mark class="lvl' || lvl || '">'
+                     || substr(text, CAST(i AS INT), length(term))
+                     || '</mark>' AS piece
+              FROM ordered),
+            assembled AS (
+              SELECT p.doc_id,
+                     string_agg(p.piece, '' ORDER BY p.ord)
+                       || substr(d.text,
+                                 CAST(max(p.i + length(p.term)) AS INT))
+                       AS html
+              FROM pieces p JOIN documents d USING (doc_id)
+              GROUP BY p.doc_id, d.text)
+            SELECT d.doc_id,
+                   CAST(length(COALESCE(a.html, d.text)) AS BIGINT)
+                     AS html_len,
+                   md5(COALESCE(a.html, d.text)) AS html_md5
+            FROM documents d LEFT JOIN assembled a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "hilite": f"""
             -- FULL-STRING reconstruction: find the pivot's standalone
@@ -1931,24 +2003,62 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "contrast": f"""
-            -- html = text with every token marked: shared-with-doc-0
-            -- tokens wrap in <mark class="shared lvlN">…</mark> (33
-            -- chars, N single digit), self-specific ones in
-            -- <mark class="specific">…</mark> (30 chars)
-            WITH {TOK_CTE},
-            v0 AS (SELECT DISTINCT term FROM tok WHERE doc_id = 0),
-            cnt AS (SELECT t.doc_id,
-                           count(*) AS n_tokens,
-                           sum(CASE WHEN v0.term IS NOT NULL
-                               THEN 1 ELSE 0 END) AS n_shared
-                    FROM tok t LEFT JOIN v0 ON t.term = v0.term
-                    GROUP BY t.doc_id)
+            -- FULL-STRING reconstruction: shared-with-doc-0 tokens wrap
+            -- in <mark class="shared lvlN"> where the relative-frequency
+            -- level is EXACT integer division (5·a)//(a+b) with
+            -- a = tf_self·len_other, b = tf_other·len_self; self-only
+            -- tokens wrap in <mark class="specific">; length + md5
+            WITH {TOKSCAN_CTE},
+            tf AS (SELECT doc_id, term, CAST(count(*) AS HUGEINT) AS tf
+                   FROM starts GROUP BY doc_id, term),
+            sl AS (SELECT doc_id, CAST(count(*) AS HUGEINT) AS len_s
+                   FROM starts GROUP BY doc_id),
+            o AS (SELECT term, CAST(count(*) AS HUGEINT) AS tf0
+                  FROM starts WHERE doc_id = 0 GROUP BY term),
+            ol AS (SELECT CAST(count(*) AS HUGEINT) AS len_o
+                   FROM starts WHERE doc_id = 0),
+            lv AS (SELECT t.doc_id, t.term,
+                          CASE WHEN o.term IS NULL THEN NULL
+                               ELSE 1 + least(4,
+                                 (5 * t.tf * greatest(ol.len_o, 1))
+                                 // (t.tf * greatest(ol.len_o, 1)
+                                     + o.tf0 * greatest(sl.len_s, 1)))
+                          END AS lvl
+                   FROM tf t
+                   JOIN sl USING (doc_id)
+                   LEFT JOIN o ON t.term = o.term
+                   CROSS JOIN ol),
+            ordered AS (
+              SELECT s.doc_id, s.text, s.i, s.term, l.lvl,
+                     row_number() OVER (PARTITION BY s.doc_id
+                                        ORDER BY s.i) AS ord,
+                     lag(s.i + length(s.term), 1, CAST(1 AS BIGINT))
+                       OVER (PARTITION BY s.doc_id ORDER BY s.i) AS prev
+              FROM starts s
+              JOIN lv l ON s.doc_id = l.doc_id AND s.term = l.term),
+            pieces AS (
+              SELECT doc_id, ord, i, term,
+                     substr(text, CAST(prev AS INT), CAST(i - prev AS INT))
+                     || CASE WHEN lvl IS NULL
+                             THEN '<mark class="specific">'
+                             ELSE '<mark class="shared lvl' || lvl || '">'
+                        END
+                     || substr(text, CAST(i AS INT), length(term))
+                     || '</mark>' AS piece
+              FROM ordered),
+            assembled AS (
+              SELECT p.doc_id,
+                     string_agg(p.piece, '' ORDER BY p.ord)
+                       || substr(d.text,
+                                 CAST(max(p.i + length(p.term)) AS INT))
+                       AS html
+              FROM pieces p JOIN documents d USING (doc_id)
+              GROUP BY p.doc_id, d.text)
             SELECT d.doc_id,
-                   CAST(length(d.text) + 33 * COALESCE(c.n_shared, 0)
-                        + 30 * (COALESCE(c.n_tokens, 0)
-                                - COALESCE(c.n_shared, 0)) AS BIGINT)
-                     AS html_len
-            FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+                   CAST(length(COALESCE(a.html, d.text)) AS BIGINT)
+                     AS html_len,
+                   md5(COALESCE(a.html, d.text)) AS html_md5
+            FROM documents d LEFT JOIN assembled a USING (doc_id)
             ORDER BY d.doc_id
         """,
         "fr_analysis": """

@@ -15,17 +15,27 @@ one-doc) tf map is broadcast into the kernel.
 
 from __future__ import annotations
 
-import math
 import re
 
 
 def tf_level(tf: int, max_tf: int, levels: int = 6) -> int:
-    """CSS class level for a token frequency (log-bucketed)."""
+    """CSS class level for a token frequency (log-bucketed).
+
+    Computed in EXACT integer arithmetic: floor((levels-1)·ln(1+tf) /
+    ln(1+max_tf)) equals the largest k with (1+max_tf)^k ≤
+    (1+tf)^(levels-1) — so the level is float-free, bit-stable across
+    engines and architectures, and the DuckDB oracle reproduces it
+    exactly (a float log at a bucket boundary is not)."""
     if max_tf <= 1:
         return 1
-    return 1 + min(
-        levels - 1, int((levels - 1) * math.log1p(tf) / math.log1p(max_tf))
-    )
+    target = (1 + tf) ** (levels - 1)
+    base = 1 + max_tf
+    k = 0
+    acc = base
+    while k < levels - 1 and acc <= target:
+        k += 1
+        acc *= base
+    return 1 + min(levels - 1, k)
 
 
 def paint(
@@ -68,10 +78,13 @@ def contrast(
             continue
         out.append(text[prev:s])
         if term in tf_other:
-            r_self = tf_self[term] / max(len_self, 1)
-            r_other = tf_other[term] / max(len_other, 1)
-            ratio = r_self / (r_self + r_other)
-            lvl = 1 + min(4, int(ratio * 5))
+            # ratio = r_self/(r_self+r_other) with r = tf/len; cleared
+            # of denominators this is a/(a+b) with a = tf_self·len_other
+            # and b = tf_other·len_self, so the bucket floor(5·ratio) is
+            # exact integer division — float-free like tf_level
+            a = tf_self[term] * max(len_other, 1)
+            b = tf_other[term] * max(len_self, 1)
+            lvl = 1 + min(4, (5 * a) // (a + b))
             out.append(
                 f'<mark class="shared lvl{lvl}">{text[s:e]}</mark>'
             )
