@@ -255,6 +255,12 @@ for _k, _v in _ELISION_BASE.items():
     ELISION[_k] = _v
     ELISION[_k[0].upper() + _k[1:]] = _v
 
+# past participles never keyed as their verb lemma in the locution walk
+# — the reference's "parti pris" guard (LocutionFilter.java:73-77);
+# shared by the match-time key function (french._loc_key) and the
+# compile-time one (fr_locutions._token_key) so they can never disagree
+ORTH_NOT_VERB: set[str] = {"pris", "prise'", "prises"}
+
 # words a hyphen breaks before (enclitic pronouns etc.) — the closed
 # grammatical class hardcoded by the reference (FrTokenizer.java:126-133)
 HYPHEN_POST: set[str] = {

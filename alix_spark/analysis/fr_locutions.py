@@ -405,33 +405,54 @@ def _iter_display(block: str):
         yield form
 
 
+_ELISION_LOWER = {k.lower(): v for k, v in D.ELISION.items()}
+
+
 def _split_tokens(display: str) -> list[str]:
     """Display form → the token sequence the tokenizer produces:
-    space-split, elision prefixes expanded via fr_dicts.ELISION (the
-    tokenizer replaces them, FrTokenizer.java:431-437)."""
+    space-split, elision prefixes expanded (the tokenizer replaces
+    them, FrTokenizer.java:431-437), and hyphenated words split at the
+    LAST hyphen when the tail is an enclitic — exactly the tokenizer's
+    HYPHEN_POST rule, euphonic -t included — so 'rendez-vous' compiles
+    to the ('rendez', 'vous') stream the walk actually sees."""
     toks: list[str] = []
     for w in display.split(" "):
         while True:
             apos = w.find("'")
             prefix = w[: apos + 1] if apos >= 0 else None
-            if prefix and prefix.lower() in {
-                k.lower() for k in D.ELISION
-            } and len(w) > apos + 1:
-                toks.append(D.ELISION[prefix.lower()])
+            if (
+                prefix
+                and prefix.lower() in _ELISION_LOWER
+                and len(w) > apos + 1
+            ):
+                toks.append(_ELISION_LOWER[prefix.lower()])
                 w = w[apos + 1 :]
                 continue
             break
-        if w:
+        if not w:
+            continue
+        hy = w.rfind("-")
+        tail = w[hy + 1 :] if hy > 0 else ""
+        if tail in D.HYPHEN_POST:
+            head = w[:hy]
+            if head.endswith("-t"):
+                head = head[:-2]
+            toks.append(head)
+            toks.append(tail)
+        else:
             toks.append(w)
     return toks
 
 
-def _token_key(surface: str, words: dict, first: bool) -> str:
+def _token_key(surface: str, words: dict) -> str:
     """The compound key this surface form contributes at match time —
     the same selection as ``french._loc_key`` applied to what the
     lemmatizer will have produced for it (lowercase path; locutions are
-    authored lowercase except proper-noun parts)."""
+    authored lowercase except proper-noun parts), including the
+    pris/prise' participle guard shared via fr_dicts.ORTH_NOT_VERB."""
     low = surface.lower()
+    if low in D.ORTH_NOT_VERB:
+        return low
     e = words.get(low)
     if e is not None:
         tag, orth, lem = e
@@ -462,8 +483,6 @@ def build_locutions() -> dict[tuple[str, ...], tuple[str, int, str | None]]:
             toks = _split_tokens(display)
             if len(toks) < 2:
                 continue
-            key = tuple(
-                _token_key(t, words, i == 0) for i, t in enumerate(toks)
-            )
+            key = tuple(_token_key(t, words) for t in toks)
             out[key] = (display, tag, None)
     return out

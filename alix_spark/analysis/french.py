@@ -156,10 +156,14 @@ def tokenize_fr(text: str, skip_xml: bool = True) -> list[Token]:
     hyph = -1  # source pos just after the last in-word hyphen
     tail: list[str] = []  # chars after the last hyphen
     last = "\0"
-    # xml state
+    # xml state. NOTE: the reference reuses ONE buffer (its `test`
+    # CharsAtt) for both tagname capture and the hyphen tail — our
+    # `tail` mirrors that shared lifecycle exactly: cleared at '<' and
+    # after non-skip tags, RETAINED through skip open/close tags (so a
+    # skip element between a hyphen and an enclitic poisons the tail
+    # and prevents the split, as in the reference).
     intag = False
     tagname = False
-    tag_acc: list[str] = []
     lt = -1
     skip_until: str | None = None
     in_ent = False
@@ -194,21 +198,21 @@ def tokenize_fr(text: str, skip_xml: bool = True) -> list[Token]:
             if c == "<":
                 lt = i
                 intag, tagname = True, True
-                tag_acc = []
-                tail = []  # the reference reuses its test buffer: a tag
-                # clobbers any pending hyphen tail
+                tail = []  # the shared test buffer resets at every '<'
                 i += 1
                 continue
             if intag:
                 if tagname:
-                    if tag_acc and c in " >/":
+                    if tail and c in " >/":
                         tagname = False
                     else:
-                        tag_acc.append(c)
+                        tail.append(c)
                 if c == ">":
                     intag = False
-                    name = "".join(tag_acc)
+                    name = "".join(tail)
                     if skip_until is not None:
+                        # skip open/close keep the buffer (reference:
+                        # the skip branches return before setEmpty)
                         if name == skip_until:
                             skip_until = None
                         i += 1
@@ -218,6 +222,7 @@ def tokenize_fr(text: str, skip_xml: bool = True) -> list[Token]:
                         i += 1
                         continue
                     el = _TAGS.get(name)
+                    tail = []  # non-skip tags clear it (test.setEmpty)
                     if el is None:  # unknown tag: transparent
                         i += 1
                         continue
@@ -443,11 +448,6 @@ def lemmatize(
 _TRIE = D.build_locution_trie()
 
 
-# past participles never keyed as their verb lemma — the reference's
-# "parti pris" guard (LocutionFilter.java:73-77)
-_ORTH_NOT_VERB = {"pris", "prise'", "prises"}
-
-
 def _loc_key(t: Token) -> str:
     """The compound key contributed by one token
     (LocutionFilter.java:145-172): NUM → "NUM", verbs by lemma, names
@@ -455,7 +455,7 @@ def _loc_key(t: Token) -> str:
     g = D.group(t.tag)
     if g == D.NUM:
         return "NUM"
-    if t.orth and t.orth in _ORTH_NOT_VERB:
+    if t.orth and t.orth in D.ORTH_NOT_VERB:
         return t.orth
     if t.lemma and g == D.VERB:
         return t.lemma

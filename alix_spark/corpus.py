@@ -188,12 +188,11 @@ class Corpus:
         MUST/MUST_NOT restrict the candidate set; all positive terms score.
         Mirrors the reference lifecycle in SURVEY.md §3.2.
         """
-        had_wildcards = bool(parsermod.parse(q).wildcards)
         parsed = self.parse(q)
         terms = parsed.positive_terms
         n, avgdl = self._stats
         if not terms and not parsed.must_not:
-            if had_wildcards:
+            if parsed.had_wildcards:
                 # a wildcard that expanded to nothing matches nothing
                 # (an empty BooleanQuery in the reference), it is not a
                 # malformed query

@@ -224,7 +224,20 @@ class IndexReader:
         the reference's PhraseQuery path, ``Alix.java:154-165``)."""
         from alix_spark.search.phrase import phrase_search
 
-        return phrase_search(self.segments, terms)
+        return phrase_search(self.segments, terms, n_buckets=self.n_buckets)
+
+    def _parse_expanded(self, q: str):
+        """Parse ``q`` with wildcards expanded against the persisted
+        vocabulary; ``parsed.had_wildcards`` records that expansion
+        happened (a no-match expansion is an empty BooleanQuery, not a
+        malformed query)."""
+        from alix_spark.search.parser import parse
+
+        parsed = parse(q)
+        if parsed.wildcards:
+            parsed.should.extend(self.expand_wildcards(parsed.wildcards))
+            parsed.wildcards = []
+        return parsed
 
     def boolean_docs(self, q: str) -> DataFrame:
         """ALL doc ids matching the boolean semantics of ``q`` (no
@@ -232,12 +245,8 @@ class IndexReader:
         postings — the reference's BooleanQuery match set
         (``Alix.java:714-754``)."""
         from alix_spark.search.boolean import matching_docs
-        from alix_spark.search.parser import parse
 
-        parsed = parse(q)
-        if parsed.wildcards:
-            parsed.should.extend(self.expand_wildcards(parsed.wildcards))
-            parsed.wildcards = []
+        parsed = self._parse_expanded(q)
         decoded = self.decoded_postings(parsed.all_terms())
         return matching_docs(
             decoded, parsed, all_docs=self.doc_lens()
@@ -258,17 +267,12 @@ class IndexReader:
         from alix_spark.search import bm25 as bm25_mod
         from alix_spark.search import wand as wand_mod
         from alix_spark.search.boolean import matching_docs
-        from alix_spark.search.parser import parse
 
-        parsed = parse(q)
-        had_wildcards = bool(parsed.wildcards)
-        if parsed.wildcards:
-            parsed.should.extend(self.expand_wildcards(parsed.wildcards))
-            parsed.wildcards = []
+        parsed = self._parse_expanded(q)
         terms = parsed.must + parsed.should
         if not parsed.must and not parsed.must_not:
             if not terms:
-                if had_wildcards:
+                if parsed.had_wildcards:
                     # a wildcard that expanded to nothing matches
                     # nothing — not a malformed query
                     return (

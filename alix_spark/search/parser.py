@@ -30,6 +30,10 @@ class ParsedQuery:
     must_not: list[str] = field(default_factory=list)
     # prefixes, each expanded against the vocabulary at planning time
     wildcards: list[str] = field(default_factory=list)
+    # True if the ORIGINAL query string contained wildcards — survives
+    # expansion (which clears `wildcards`), so consumers can tell a
+    # no-match expansion (empty BooleanQuery) from a malformed query
+    had_wildcards: bool = False
 
     @property
     def positive_terms(self) -> list[str]:
@@ -61,4 +65,5 @@ def parse(q: str) -> ParsedQuery:
             out.must_not.append(term)
         else:
             out.should.append(term)
+    out.had_wildcards = bool(out.wildcards)
     return out

@@ -61,16 +61,23 @@ def _term_positions(
     return doc_ids.astype(np.int64), bounds, positions
 
 
-def phrase_search(segments: DataFrame, terms: list[str]) -> DataFrame:
+def phrase_search(
+    segments: DataFrame,
+    terms: list[str],
+    n_buckets: int = seg_mod.DEFAULT_BUCKETS,
+) -> DataFrame:
     """Exact-phrase matching → (doc_id, freq) for docs containing the
     terms at consecutive positions, freq = number of phrase occurrences.
 
     ``terms`` must be the already-analyzed token sequence (same analyzer
     as index time — the reference's principle, ``Alix.java:698``).
+    ``n_buckets`` must be the count the index was BUILT with — the
+    bucket predicate prunes file scans, so a mismatched value silently
+    drops matching postings (IndexReader passes its recorded value).
     """
     if not terms:
         raise ValueError("empty phrase")
-    buckets = sorted({term_bucket(t, seg_mod.DEFAULT_BUCKETS) for t in terms})
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     pruned = segments.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
     )
