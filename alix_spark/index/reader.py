@@ -205,17 +205,21 @@ class IndexReader:
         """Prefix expansion against the persisted vocabulary
         (WildcardQuery, ``Alix.java:731-734``); a tiny pruned scan of
         the forms table."""
+        if not prefixes:
+            return []
+        cond = F.col("term").startswith(prefixes[0])
+        for prefix in prefixes[1:]:
+            cond = cond | F.col("term").startswith(prefix)
+        matched = sorted(
+            r["term"]
+            for r in self.forms.filter(cond).select("term").collect()
+        )
+        # Preserve the per-prefix output contract (each prefix's
+        # matches, sorted, in input order) while paying ONE Spark job
+        # for any number of wildcards.
         out: list[str] = []
         for prefix in prefixes:
-            out.extend(
-                r["term"]
-                for r in self.forms.filter(
-                    F.col("term").startswith(prefix)
-                )
-                .select("term")
-                .orderBy("term")
-                .collect()
-            )
+            out.extend(t for t in matched if t.startswith(prefix))
         return out
 
     def phrase(self, terms: list[str]) -> DataFrame:

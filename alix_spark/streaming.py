@@ -50,6 +50,15 @@ DOCS_SCHEMA = (
 
 TABLES = ("docs", "segments", "norms")
 
+# Auto-sharding policy: a default-constructed indexer starts with the
+# cheap inline manifest and switches to the sharded manifest-list the
+# first time a version would carry more than AUTO_SHARD_THRESHOLD
+# segment entries — so a long-lived stream never walks into the
+# ~10^6-entry inline-manifest horizon (the Iceberg analogue shards
+# always; we defer the extra files until they pay for themselves).
+AUTO_SEGS_PER_SHARD = 256
+AUTO_SHARD_THRESHOLD = 4 * AUTO_SEGS_PER_SHARD
+
 
 class StreamingIndexer:
     """foreachBatch sink maintaining a versioned, atomically-published
@@ -64,7 +73,7 @@ class StreamingIndexer:
         text_col: str = "content",
         retain_versions: int = 3,
         clear_cache_after_batch: bool = True,
-        segs_per_shard: int | None = None,
+        segs_per_shard: int | None | str = "auto",
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -78,7 +87,12 @@ class StreamingIndexer:
         # publish rewrites ONLY shards containing affected segments —
         # untouched shards carry over by reference, so the manifest
         # write cost is O(touched), not O(total segments). None = the
-        # inline single-JSON manifest (fine to ~10^6 segments).
+        # inline single-JSON manifest (fine to ~10^6 segments); an int
+        # forces sharding at that span; "auto" (the default) stays
+        # inline below AUTO_SHARD_THRESHOLD entries and shards at
+        # AUTO_SEGS_PER_SHARD beyond it (sticky once sharded — the
+        # span is persisted in the manifest so later versions and GC
+        # agree on shard boundaries).
         self.segs_per_shard = segs_per_shard
         # id assignment persists its range-shuffled partitions so both
         # consumers of a batch (docs write + segment rebuild) see ONE
@@ -213,6 +227,30 @@ class StreamingIndexer:
         man = self._read_raw()
         return int(man.get("n_buckets", self.n_buckets))
 
+    def _resolve_span(self, prev_raw: dict, tables: dict) -> int | None:
+        """The shard span for the next manifest, or None for inline.
+
+        Once a version is sharded the span is STICKY (read back from
+        the previous manifest) so untouched shards can be carried by
+        file reference — shard boundaries must agree across versions.
+        In "auto" mode an inline index trips to sharded the first time
+        any table would carry more than AUTO_SHARD_THRESHOLD entries."""
+        if self.segs_per_shard is None:
+            return None  # explicit inline request always honored
+        if "shards" in prev_raw:
+            recorded = prev_raw.get("segs_per_shard")
+            if recorded is not None:
+                return int(recorded)
+            # pre-auto manifest without a recorded span: only an
+            # explicit int constructor could have written it
+            if isinstance(self.segs_per_shard, int):
+                return self.segs_per_shard
+            return AUTO_SEGS_PER_SHARD
+        if isinstance(self.segs_per_shard, int):
+            return self.segs_per_shard
+        n_entries = max((len(m) for m in tables.values()), default=0)
+        return AUTO_SEGS_PER_SHARD if n_entries > AUTO_SHARD_THRESHOLD else None
+
     def _write_manifest(
         self,
         v: int,
@@ -228,11 +266,13 @@ class StreamingIndexer:
         is carried from the previous version's manifest-list by
         reference (affected=None forces a full rewrite: compaction)."""
         man: dict = {"version": v, "seg_size": seg_size, "n_buckets": n_buckets}
-        if self.segs_per_shard is None:
+        prev_raw = self._read_raw()
+        span = self._resolve_span(prev_raw, tables)
+        if span is None:
             man["tables"] = tables
         else:
-            span = self.segs_per_shard
-            prev_shards = self._read_raw().get("shards", {})
+            man["segs_per_shard"] = span
+            prev_shards = prev_raw.get("shards", {})
             dirty = (
                 None
                 if affected is None

@@ -536,3 +536,46 @@ def test_sharded_manifest_compaction(spark, tmp_path):
 
     on_disk = set(os.listdir(os.path.join(ix.index_dir, "mdata")))
     assert all("v2" in f for f in on_disk), on_disk
+
+
+def test_auto_sharding_trips_at_threshold(spark, tmp_path, monkeypatch):
+    """A DEFAULT-constructed indexer (segs_per_shard="auto") stays on
+    the cheap inline manifest below AUTO_SHARD_THRESHOLD entries, then
+    shards (span AUTO_SEGS_PER_SHARD, recorded in the manifest) the
+    first version that crosses it — and stays sharded, carrying
+    untouched shards by reference on the next small batch."""
+    import alix_spark.streaming as st
+    from alix_spark.index.reader import IndexReader
+
+    monkeypatch.setattr(st, "AUTO_SEGS_PER_SHARD", 2)
+    monkeypatch.setattr(st, "AUTO_SHARD_THRESHOLD", 4)
+    ix = StreamingIndexer(spark, str(tmp_path / "aidx"), seg_size=8)
+    assert ix.segs_per_shard == "auto"
+    # v1: 24 docs -> 3 segments <= threshold 4 -> inline
+    ix.process_batch(_rows(spark, [
+        ("o/r", f"f{i}", "c1", "py", f"alpha beta tok{i} fast join")
+        for i in range(24)]), 0)
+    raw1 = ix._read_raw(1)
+    assert "tables" in raw1 and "shards" not in raw1
+    # v2: 48 docs -> 6 segments > threshold -> sharded, span recorded
+    ix.process_batch(_rows(spark, [
+        ("o/r", f"g{i}", "c1", "py", f"gamma delta tok{i} fast join")
+        for i in range(24)]), 1)
+    raw2 = ix._read_raw(2)
+    assert "shards" in raw2 and raw2["segs_per_shard"] == 2
+    # v3: 1-doc update -> sticky sharded; untouched shards carried by
+    # file reference from v2
+    ix.process_batch(
+        _rows(spark, [("o/r", "f0", "c2", "py", "updated omega")]), 2)
+    raw3 = ix._read_raw(3)
+    assert "shards" in raw3 and raw3["segs_per_shard"] == 2
+    carried = sum(
+        raw3["shards"][t][k] == raw2["shards"][t].get(k)
+        for t in ("docs", "segments", "norms")
+        for k in raw3["shards"][t])
+    assert carried > 0
+    # the mixed inline/sharded history resolves and serves identically
+    rd = IndexReader.open_streaming(spark, ix.index_dir)
+    assert rd.search("fast join", k=5).count() == 5
+    assert "updated" in {
+        r["term"] for r in rd.forms.select("term").collect()}
