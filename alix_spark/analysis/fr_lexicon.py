@@ -22,6 +22,7 @@ priority at merge time in consumers.
 from __future__ import annotations
 
 from alix_spark.analysis import fr_dicts as D
+from alix_spark.analysis import fr_lexicon2 as X
 
 # --------------------------------------------------------------------- #
 # lemma inventories (curated common vocabulary — ~1,800 lemmas)
@@ -39,7 +40,7 @@ continuer arrêter attraper lancer avancer placer annoncer
 prononcer forcer effacer glisser remplacer menacer percer tracer bercer
 déplacer renoncer exercer divorcer grimacer pincer rincer coincer froncer
 manger bouger changer nager voyager ranger mélanger partager plonger
-songer juger charger décharger diriger corriger protéger0 négliger
+songer juger charger décharger diriger corriger protéger3 négliger
 obliger exiger déranger venger allonger prolonger interroger loger
 déménager encourager engager soulager échanger arranger dégager
 nettoyer employer envoyer0 appuyer essuyer ennuyer noyer tutoyer
@@ -663,12 +664,17 @@ def conjugate_re(inf: str) -> set[str]:
 
 _AL_PLURAL_EXCEPTIONS = {"bal", "carnaval", "festival", "chacal", "récital"}
 
+# the seven -ou nouns whose plural takes -x (bijoux, choux, genoux…)
+_OU_X_PLURALS = {"bijou", "caillou", "chou", "genou", "hibou", "joujou", "pou"}
+
 
 def pluralize(word: str) -> str:
     """Noun/adjective plural by the standard rules."""
     if word[-1] in "sxz":
         return word
     if word.endswith(("eau", "au", "eu")):
+        return word + "x"
+    if word in _OU_X_PLURALS:
         return word + "x"
     if word.endswith("al") and word not in _AL_PLURAL_EXCEPTIONS:
         return word[:-2] + "aux"
@@ -728,12 +734,12 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
     def put(graph: str, tag: int, lemma: str) -> None:
         out.setdefault(graph, (tag, None, lemma))
 
-    for n in NOUNS:
+    for n in NOUNS + X.NOUNS_EXT:
         n = _strip_marker(n)
         put(n, D.SUB, n)
         put(pluralize(n), D.SUB, n)
 
-    for a in ADJECTIVES:
+    for a in ADJECTIVES + X.ADJECTIVES_EXT:
         a = _strip_marker(a)
         fem = _IRREGULAR_FEM.get(a, feminize(a))
         put(a, D.ADJ, a)
@@ -758,17 +764,17 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
         adv = _strip_marker(adv).replace("-", " ")
         put(adv, D.ADV, adv)
 
-    for v in VERBS_ER:
+    for v in VERBS_ER + X.VERBS_ER_EXT:
         lemma = _strip_marker(v)
         if lemma in ("aller", "envoyer", "renvoyer"):  # true irregulars
             continue
         for f in conjugate_er(v):
             put(_strip_marker(f), D.VERB, lemma)
-    for v in VERBS_IR2:
+    for v in VERBS_IR2 + X.VERBS_IR2_EXT:
         lemma = _strip_marker(v)
         for f in conjugate_ir2(v):
             put(_strip_marker(f), D.VERB, lemma)
-    for v in VERBS_RE:
+    for v in VERBS_RE + X.VERBS_RE_EXT:
         lemma = _strip_marker(v)
         for f in conjugate_re(v):
             put(_strip_marker(f), D.VERB, lemma)

@@ -14,6 +14,7 @@ groups), instead of falling back to the inferred generic NAME.
 from __future__ import annotations
 
 from alix_spark.analysis import fr_dicts as D
+from alix_spark.analysis import fr_names2 as X
 
 FORENAMES_M = """
 Adrien Alain Albert Alexandre Alfred Alphonse André Antoine Armand
@@ -128,6 +129,64 @@ def _put(
         out.setdefault(w, (tag, None))
 
 
+def _m(w: str) -> str:
+    """Strip the trailing-digit homograph marker before composing."""
+    return w.rstrip("0123456789")
+
+
+def _rotate(seq: list[str], i: int, n: int) -> list[str]:
+    """``n`` elements of ``seq`` starting at a deterministic offset —
+    the composition stays reproducible with no RNG."""
+    return [seq[(i * n + j) % len(seq)] for j in range(n)]
+
+
+def compose_communes() -> list[str]:
+    """Instantiate the real French toponymic patterns over the curated
+    roots in :mod:`fr_names2` — Saint-X(-sur/-de-Y), X-sur-<river>,
+    X-en-<pays>, X-de-<pays>, X-le(s)-<qualifier>. Hyphenated toponyms
+    are single tokens to the tokenizer, so each composition is one
+    dictionary graph (the commune.csv shape, FrDics.java:134-155)."""
+    out: list[str] = []
+    saints = [_m(s) for s in X.SAINTS]
+    saintes = [_m(s) for s in X.SAINTES]
+    rivers = [_m(r) for r in X.RIVERS]
+    pays = [_m(p) for p in X.PAYS]
+    bases = [_m(b) for b in X.TOPO_BASES]
+    out.extend(bases)  # the bare bases are real communes themselves
+    out.extend(f"Saint-{s}" for s in saints)
+    out.extend(f"Sainte-{s}" for s in saintes)
+    for i, s in enumerate(saints):
+        out.extend(f"Saint-{s}-sur-{r}" for r in _rotate(rivers, i, 3))
+        out.extend(f"Saint-{s}-de-{p}" for p in _rotate(pays, i, 2))
+    for i, b in enumerate(bases):
+        out.extend(f"{b}-sur-{r}" for r in _rotate(rivers, i, 6))
+        out.extend(f"{b}-en-{p}" for p in _rotate(pays, i, 3))
+        out.extend(f"{b}-de-{p}" for p in _rotate(pays, i + 1, 2))
+        out.extend(f"{b}-le-{q}" for q in _rotate(
+            [_m(q) for q in X.LE_QUALIFIERS], i, 2))
+        out.extend(f"{b}-les-{q}" for q in _rotate(
+            [_m(q) for q in X.LES_QUALIFIERS], i, 1))
+    return out
+
+
+def compose_forenames() -> tuple[list[str], list[str]]:
+    """The productive hyphenated compound forenames (Jean-Pierre,
+    Marie-Claire…): heads × tails, self-pairs skipped."""
+    male = [
+        f"{h}-{t}"
+        for h in X.COMPOUND_HEADS_M
+        for t in X.COMPOUND_TAILS_M
+        if h != t
+    ]
+    female = [
+        f"{h}-{t}"
+        for h in X.COMPOUND_HEADS_F
+        for t in X.COMPOUND_TAILS_F
+        if h != t
+    ]
+    return male, female
+
+
 def build_names() -> dict[str, tuple[int, str | None]]:
     """graph → (tag, orth) for the lemmatizer's NAMES lookup. Multi-word
     entries (La Fontaine, New York) additionally rely on the persname
@@ -141,10 +200,19 @@ def build_names() -> dict[str, tuple[int, str | None]]:
     # FrDics.java:133-134 — we invert deliberately: author names win
     # over homonym villages, then cities, then countries, forenames last)
     _put(out, AUTHORS, D.NAME_AUTHOR, deferred)
+    _put(out, " ".join(X.AUTHORS_EXT), D.NAME_AUTHOR, deferred)
     _put(out, CITIES, D.NAME_PLACE, deferred)
+    _put(out, " ".join(X.COMMUNES_EXT), D.NAME_PLACE, deferred)
+    _put(out, " ".join(compose_communes()), D.NAME_PLACE, deferred)
     _put(out, PLACES, D.NAME_PLACE, deferred)
+    _put(out, " ".join(X.PLACES_EXT), D.NAME_PLACE, deferred)
     _put(out, FORENAMES_M, D.NAME_PERS_M, deferred)
+    _put(out, X.FORENAMES_M_EXT, D.NAME_PERS_M, deferred)
     _put(out, FORENAMES_F, D.NAME_PERS_F, deferred)
+    _put(out, X.FORENAMES_F_EXT, D.NAME_PERS_F, deferred)
+    comp_m, comp_f = compose_forenames()
+    _put(out, " ".join(comp_m), D.NAME_PERS_M, deferred)
+    _put(out, " ".join(comp_f), D.NAME_PERS_F, deferred)
     for w, tag in deferred:
         out.setdefault(w, (tag, None))
     return out
