@@ -914,7 +914,8 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity search — LSH-bucketed multi-probe ANN around vec_id 0,
     with a RECALL-PROOF oracle (the `minhash_pairs`/`embedding_dups`
     pattern): 10 exact positive scalar multiples of the query vector are
-    planted (ids 200000+i, scale 0.5+0.1·i). A positive multiple has the
+    planted (ids max(vec_id)+1+i — collision-free at any corpus scale —
+    scale 0.5+0.1·i). A positive multiple has the
     SAME sign on every hyperplane, so it lands in the query's own LSH
     bucket deterministically, and its cosine is exactly 1.0 — the
     planted rows ARE the exact top-10. The oracle computes the exact
@@ -924,15 +925,17 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    qrow = base.filter(F.col("vec_id") == 0)
-    qvec = [float(x) for x in qrow.collect()[0]["embedding"]]
-    planted = qrow.select(
-        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"), "embedding"
-    ).select(
-        (F.lit(200000) + F.col("i")).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x: x * (F.lit(0.5) + 0.1 * F.col("i"))
-        ).alias("embedding"),
+    first = base.groupBy().agg(
+        F.max("vec_id").alias("mx"),
+        F.max_by("embedding", F.col("vec_id") == 0).alias("q"),
+    ).collect()[0]
+    mx, qvec = int(first["mx"]) + 1, [float(x) for x in first["q"]]
+    # planted rows from driver-side literals (one scan total); ids start
+    # past max(vec_id) so they can never collide with real vectors at
+    # any corpus scale. Same double arithmetic as the DuckDB oracle.
+    planted = spark.createDataFrame(
+        [(mx + i, [x * (0.5 + 0.1 * i) for x in qvec]) for i in range(10)],
+        "vec_id long, embedding array<double>",
     )
     allv = base.unionByName(planted)
     return sim_mod.lsh_knn(allv, qvec, k=10, n_planes=6, exclude_id=0)
@@ -2147,9 +2150,10 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                           FROM embeddings),
             q AS (SELECT e FROM base WHERE vec_id = 0),
-            planted AS (SELECT 200000 + i AS vec_id,
+            mx AS (SELECT max(vec_id) + 1 AS b FROM base),
+            planted AS (SELECT mx.b + i AS vec_id,
                                list_transform(q.e, x -> x * (0.5 + 0.1 * i)) AS e
-                        FROM q, range(0, 10) AS t(i)),
+                        FROM q, mx, range(0, 10) AS t(i)),
             allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
             SELECT allv.vec_id,
                    ROUND(list_dot_product(allv.e, q.e)

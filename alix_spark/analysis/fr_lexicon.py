@@ -130,13 +130,13 @@ supporter transporter déporter colporter
 rater mater dater mandater constater dilater éclater relater flatter0
 tâter
 signer désigner assigner résigner aligner souligner témoigner soigner
-éloigner gagner0 régner saigner baigner peigner enseigner renseigner
+éloigner gagner0 régner3 saigner baigner peigner enseigner renseigner
 accompagner épargner gratter0 quitter0 agiter0
 tomber0 plomber bomber succomber incomber
 chercher0 marcher0 toucher0 coucher accoucher boucher déboucher
 mâcher cracher arracher attacher détacher cacher fâcher gâcher lâcher
 pencher trancher brancher débrancher étancher
-pêcher empêcher dépêcher prêcher lécher
+pêcher empêcher dépêcher prêcher lécher3
 piocher approcher reprocher accrocher décrocher toucher1
 brûler calculer0 reculer circuler articuler basculer bousculer
 accumuler stimuler simuler dissimuler formuler
@@ -718,6 +718,7 @@ _IRREGULAR_FEM = {
     "roux": "rousse", "doux": "douce", "gros": "grosse",
     "bas": "basse", "épais": "épaisse", "gras": "grasse",
     "favori": "favorite", "public": "publique", "grec": "grecque",
+    "nul": "nulle",
 }
 
 

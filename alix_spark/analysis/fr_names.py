@@ -123,8 +123,8 @@ def _put(
         # claims the graph.
         if "_" in w:
             w = w.rsplit("_", 1)[1]
-        if w.endswith("0"):
-            deferred.append((w[:-1], tag))
+        if w[-1].isdigit():
+            deferred.append((w.rstrip("0123456789"), tag))
             continue
         out.setdefault(w, (tag, None))
 

@@ -212,7 +212,7 @@ Blangy Boissy Bonnay Bourg Breuil Brézé Bussy Castelnau Celles
 Cerisy Chaillé Champigny Changé Chanteloup Charly Chassagne Château
 Châtillon0 Chaumont0 Chavagne Chemillé Chevry Civray Cléry Condé
 Corbère Cormeilles Coulonges Courcelles Courson Crécy Culan Dampierre
-Dompierre Availles0 Ébreuil Écully Épineuil Fay Ferrières Fleury
+Dompierre Vineuil Ébreuil Écully Épineuil Fay Ferrières Fleury
 Fontaines Fresnay Frontenay Gisay Gournay Grez Igny Jouy Juillé
 Juvigny Labastide Lagny Landivy Lassay Lhommaizé Ligny Longueville
 Lussac Magny Maillé Marcillac Marcilly Mareuil Marigny Mauzé Mazières

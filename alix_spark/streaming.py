@@ -278,6 +278,13 @@ class StreamingIndexer:
                 if affected is None
                 else {int(s) // span for s in affected}
             )
+            # a legacy sharded manifest with NO recorded span may have
+            # been written at a different span than we resolved —
+            # carrying its shard files by reference under the new
+            # grouping would silently drop the entries that fall
+            # outside each old file's range. Force a full rewrite.
+            if "segs_per_shard" not in prev_raw and prev_shards:
+                dirty = None
             mdata = Path(self.index_dir) / "mdata"
             mdata.mkdir(exist_ok=True)
             shards_out: dict = {}

@@ -579,3 +579,40 @@ def test_auto_sharding_trips_at_threshold(spark, tmp_path, monkeypatch):
     assert rd.search("fast join", k=5).count() == 5
     assert "updated" in {
         r["term"] for r in rd.forms.select("term").collect()}
+
+
+def test_legacy_sharded_manifest_forces_full_rewrite(spark, tmp_path):
+    """A sharded manifest written before the span was recorded
+    (pre-auto format, no "segs_per_shard" key) may use ANY span — so
+    the next publish must NOT carry its shard files by reference under
+    a guessed grouping (that silently drops the entries outside each
+    old file's range). It must rewrite the full shard set."""
+    import json
+    from pathlib import Path
+
+    from alix_spark.index.reader import IndexReader
+
+    ix = StreamingIndexer(
+        spark, str(tmp_path / "lidx"), seg_size=8, segs_per_shard=3
+    )
+    ix.process_batch(_rows(spark, [
+        ("o/r", f"f{i}", "c1", "py", f"alpha beta tok{i} fast join")
+        for i in range(40)]), 0)  # 5 segments, span 3 -> shards {0,1}
+    # simulate the legacy format: drop the recorded span from v1
+    mp = Path(ix.index_dir) / "v1.json"
+    man = json.loads(mp.read_text())
+    del man["segs_per_shard"]
+    mp.write_text(json.dumps(man))
+    # reopen with the default (auto) constructor; tiny update batch
+    ix2 = StreamingIndexer(spark, str(tmp_path / "lidx"), seg_size=8)
+    ix2.process_batch(
+        _rows(spark, [("o/r", "f0", "c2", "py", "updated omega")]), 1)
+    raw2 = ix2._read_raw(2)
+    # every shard file is freshly written at v2 (none carried from v1)
+    assert all(
+        "v2" in p for smap in raw2["shards"].values() for p in smap.values()
+    ), raw2["shards"]
+    # and the index still serves every segment's postings
+    rd = IndexReader.open_streaming(spark, ix2.index_dir)
+    assert rd.search("fast join", k=5).count() == 5
+    assert "updated" in {r["term"] for r in rd.forms.select("term").collect()}
