@@ -231,3 +231,39 @@ class Corpus:
             avgdl=avgdl,
             dfs=dfs,
         )
+
+    def docs_sorted(
+        self, by: str | None = None, desc: bool = False, k: int | None = None
+    ) -> DataFrame:
+        """Q5/K4 — the document list under one of the reference's sort
+        options (``DocSort.java:41-54``: relevance handled by `search`;
+        int field asc/desc, e.g. year; string id): a declarative
+        ``orderBy`` + optional ``limit`` so Catalyst plans a bounded
+        ``TakeOrderedAndProject`` when ``k`` is given — no global sort
+        materialization for top-k pages."""
+        col = F.col(by or self.id_col)
+        out = self.docs.orderBy(col.desc() if desc else col.asc())
+        return out.limit(k) if k is not None else out
+
+    def doc_id_for(self, id_val, id_field: str) -> int | None:
+        """Q6 — external id → internal doc_id (``Alix.getDocId``,
+        ``Alix.java:414-424``: a TermQuery top-1). A pruned filter scan;
+        None when absent (the reference returns -1)."""
+        rows = (
+            self.docs.filter(F.col(id_field) == id_val)
+            .select(self.id_col)
+            .limit(1)
+            .collect()
+        )
+        return int(rows[0][0]) if rows else None
+
+    def id_for(self, doc_id: int, id_field: str):
+        """Q6 — internal doc_id → external id (``Alix.getId``,
+        ``Alix.java:429-436``: stored-field read). None when absent."""
+        rows = (
+            self.docs.filter(F.col(self.id_col) == doc_id)
+            .select(id_field)
+            .limit(1)
+            .collect()
+        )
+        return rows[0][0] if rows else None

@@ -142,3 +142,28 @@ def test_boolean_plan_has_no_tokenizer_and_no_docs_scan(persisted):
         for line in plan.splitlines():
             if "FileScan" in line:
                 assert ("segments" in line) or ("norms" in line), line
+
+
+def test_doc_sort_options_and_id_resolution(spark):
+    """Q5 doc sort (field asc/desc + bounded top-k) and Q6 id<->docId
+    resolution (Alix.java:414-436; DocSort.java:41-54)."""
+    from alix_spark.corpus import Corpus
+
+    docs = spark.createDataFrame(
+        [(3, "zz.txt", "gamma text", 1990),
+         (1, "aa.txt", "alpha text", 2005),
+         (2, "mm.txt", "beta text", 1978)],
+        "doc_id long, path string, text string, year int",
+    )
+    c = Corpus(docs, cache=False)
+    assert [r["doc_id"] for r in c.docs_sorted("year").collect()] == [2, 3, 1]
+    assert [r["doc_id"] for r in c.docs_sorted("year", desc=True).collect()] \
+        == [1, 3, 2]
+    assert [r["doc_id"] for r in c.docs_sorted("path", k=2).collect()] == [1, 2]
+    # bounded top-k plans as TakeOrderedAndProject, not a global sort
+    plan = c.docs_sorted("year", k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert c.doc_id_for("mm.txt", "path") == 2
+    assert c.id_for(3, "path") == "zz.txt"
+    assert c.doc_id_for("nope.txt", "path") is None
+    assert c.id_for(99, "path") is None
