@@ -362,6 +362,99 @@ VERBS_IRREGULAR: dict[str, str] = {
               "vaudras vaudra vaudrons vaudrez vaudront vaudrais "
               "vaudrait vaudrions vaudriez vaudraient vaille vailles "
               "valu value valant",
+    # round-5 additions: the major 3rd-group verbs the common-verb
+    # audit found missing (battre, conclure, vaincre, fuir, acquérir,
+    # cueillir, coudre, asseoir…), plus envoyer — whose -ER skip
+    # guard had no matching paradigm, leaving it formless
+    "battre": "bats bat battons battez battent battais battait "
+              "battions battiez battaient battis battit battîmes "
+              "battirent battrai battras battra battrons battrez "
+              "battront battrais battrait battrions battriez "
+              "battraient batte battes battent0 battu battue battus "
+              "battues battant",
+    "conclure": "conclus conclut concluons concluez concluent "
+                "concluais concluait concluions concluiez concluaient "
+                "conclûmes conclurent conclurai concluras conclura "
+                "conclurons conclurez concluront conclurais conclurait "
+                "conclurions concluriez concluraient conclue conclues "
+                "conclu conclue0 conclues0 concluant",
+    "rompre": "romps rompt rompons rompez rompent rompais rompait "
+              "rompions rompiez rompaient rompis rompit rompîmes "
+              "rompirent romprai rompras rompra romprons romprez "
+              "rompront romprais romprait romprions rompriez "
+              "rompraient rompe rompes rompu rompue rompus rompues "
+              "rompant",
+    "vaincre": "vaincs vainc vainquons vainquez vainquent vainquais "
+               "vainquait vainquions vainquiez vainquaient vainquis "
+               "vainquit vainquîmes vainquirent vaincrai vaincras "
+               "vaincra vaincrons vaincrez vaincront vaincrais "
+               "vaincrait vaincrions vaincriez vaincraient vainque "
+               "vainques vaincu vaincue vaincus vaincues vainquant",
+    "fuir": "fuis fuit fuyons fuyez fuient fuyais fuyait fuyions "
+            "fuyiez fuyaient fuîmes fuirent fuirai fuiras fuira "
+            "fuirons fuirez fuiront fuirais fuirait fuirions fuiriez "
+            "fuiraient fuie fuies fui fuie0 fuis0 fuies0 fuyant",
+    "acquérir": "acquiers acquiert acquérons acquérez acquièrent "
+                "acquérais acquérait acquérions acquériez acquéraient "
+                "acquis acquit acquîmes acquirent acquerrai acquerras "
+                "acquerra acquerrons acquerrez acquerront acquerrais "
+                "acquerrait acquerrions acquerriez acquerraient "
+                "acquière acquières acquise acquises acquérant",
+    "cueillir": "cueille cueilles cueillons cueillez cueillent "
+                "cueillais cueillait cueillions cueilliez cueillaient "
+                "cueillis cueillit cueillîmes cueillirent cueillerai "
+                "cueilleras cueillera cueillerons cueillerez "
+                "cueilleront cueillerais cueillerait cueillerions "
+                "cueilleriez cueilleraient cueilli cueillie cueillis0 "
+                "cueillies cueillant",
+    "bouillir": "bous bout bouillons bouillez bouillent bouillais "
+                "bouillait bouillions bouilliez bouillaient bouillis "
+                "bouillit bouillirent bouillirai bouilliras bouillira "
+                "bouillirons bouillirez bouilliront bouille bouilles "
+                "bouilli bouillie bouillis0 bouillies bouillant",
+    "coudre": "couds coud cousons cousez cousent cousais cousait "
+              "cousions cousiez cousaient cousis cousit cousirent "
+              "coudrai coudras coudra coudrons coudrez coudront "
+              "coudrais coudrait coudrions coudriez coudraient couse "
+              "couses cousu cousue cousus cousues cousant",
+    "moudre": "mouds moud moulons moulez moulent moulais moulait "
+              "moulions mouliez moulaient moulus moulut moulurent "
+              "moudrai moudras moudra moudrons moudrez moudront "
+              "moule moules moulu moulue moulus0 moulues moulant",
+    "suffire": "suffis suffit suffisons suffisez suffisent suffisais "
+               "suffisait suffisions suffisiez suffisaient suffîmes "
+               "suffirent suffirai suffiras suffira suffirons suffirez "
+               "suffiront suffise suffises suffi suffisant",
+    "croître": "croîs croît croissons croissez croissent croissais "
+               "croissait croissions croissiez croissaient crûs crût "
+               "crûmes crûrent croîtrai croîtras croîtra croîtrons "
+               "croîtrez croîtront croisse croisses crû crue crus0 "
+               "crues croissant",
+    "résoudre": "résous résout résolvons résolvez résolvent résolvais "
+                "résolvait résolvions résolviez résolvaient résolus "
+                "résolut résolurent résoudrai résoudras résoudra "
+                "résoudrons résoudrez résoudront résoudrais résoudrait "
+                "résoudrions résoudriez résoudraient résolve résolves "
+                "résolu résolue résolus0 résolues résolvant",
+    "asseoir": "assieds assied asseyons asseyez asseyent asseyais "
+               "asseyait asseyions asseyiez asseyaient assis assit "
+               "assîmes assirent assiérai assiéras assiéra assiérons "
+               "assiérez assiéront assiérais assiérait asseye asseyes "
+               "assois assoit assoyons assoyez assoient assoirai "
+               "assoiras assoira assoirons assoirez assoiront assise "
+               "assises assis0 asseyant assoyant",
+    "émouvoir": "émeus émeut émouvons émouvez émeuvent émouvais "
+                "émouvait émouvions émouviez émouvaient émus émut "
+                "émûmes émurent émouvrai émouvras émouvra émouvrons "
+                "émouvrez émouvront émouvrais émouvrait émouvrions "
+                "émouvriez émouvraient émeuve émeuves ému émue émus0 "
+                "émues émouvant",
+    "envoyer": "envoie envoies envoyons envoyez envoient envoyais "
+               "envoyait envoyions envoyiez envoyaient envoyai envoya "
+               "envoyâmes envoyèrent enverrai enverras enverra "
+               "enverrons enverrez enverront enverrais enverrait "
+               "enverrions enverriez enverraient envoyé envoyée "
+               "envoyés envoyées envoyant",
 }
 
 # common nouns (plural generated by rule)
@@ -668,6 +761,62 @@ _AL_PLURAL_EXCEPTIONS = {"bal", "carnaval", "festival", "chacal", "récital"}
 _OU_X_PLURALS = {"bijou", "caillou", "chou", "genou", "hibou", "joujou", "pou"}
 
 
+def conjugate_uire(inf: str) -> set[str]:
+    """3rd-group -uire family (conduire type: -uis/-uisons, pp -uit;
+    nuire/luire take the bare -ui participle)."""
+    stem = inf[:-3]  # condu
+    forms = {inf}
+    for e in ("is", "is", "it", "isons", "isez", "isent"):
+        forms.add(stem + e)
+    for e in ("isais", "isait", "isions", "isiez", "isaient"):
+        forms.add(stem + e)
+    for e in ("isis", "isit", "isîmes", "isîtes", "isirent"):
+        forms.add(stem + e)
+    for e in ("irai", "iras", "ira", "irons", "irez", "iront",
+              "irais", "irait", "irions", "iriez", "iraient"):
+        forms.add(stem + e)
+    for e in ("ise", "ises", "isent"):
+        forms.add(stem + e)
+    forms.add(stem + "isant")
+    if inf in ("nuire", "luire", "reluire"):
+        forms.add(stem + "i")
+    else:
+        for e in ("it", "ite", "its", "ites"):
+            forms.add(stem + e)
+    return forms
+
+
+def conjugate_indre(inf: str) -> set[str]:
+    """3rd-group -aindre/-eindre/-oindre family (craindre type:
+    -ns/-nt singular, -gn- plural stem, pp in -nt)."""
+    stem = inf[:-3]  # crain / pein / join
+    gn = stem[:-1] + "gn"  # craign
+    forms = {inf, stem + "s", stem + "t"}
+    for e in ("ons", "ez", "ent", "ais", "ait", "ions", "iez", "aient",
+              "is", "it", "îmes", "îtes", "irent", "e", "es", "ant"):
+        forms.add(gn + e)
+    for e in ("rai", "ras", "ra", "rons", "rez", "ront",
+              "rais", "rait", "rions", "riez", "raient"):
+        forms.add(inf[:-1] + e)  # craindrai
+    for e in ("te", "ts", "tes"):
+        forms.add(stem + e)  # crainte craints craintes (pp masc = 3sg)
+    return forms
+
+
+# -uire / -indre inventories (families above)
+VERBS_UIRE = """
+conduire reconduire traduire construire reconstruire détruire produire
+reproduire introduire réduire séduire déduire enduire induire instruire
+cuire recuire nuire luire reluire
+""".split()
+
+VERBS_INDRE = """
+craindre plaindre contraindre peindre dépeindre repeindre éteindre
+atteindre enfreindre feindre geindre teindre déteindre étreindre
+restreindre empreindre joindre rejoindre adjoindre disjoindre enjoindre
+""".split()
+
+
 def pluralize(word: str) -> str:
     """Noun/adjective plural by the standard rules."""
     if word[-1] in "sxz":
@@ -779,6 +928,12 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
         lemma = _strip_marker(v)
         for f in conjugate_re(v):
             put(_strip_marker(f), D.VERB, lemma)
+    for v in VERBS_UIRE:
+        for f in conjugate_uire(v):
+            put(f, D.VERB, v)
+    for v in VERBS_INDRE:
+        for f in conjugate_indre(v):
+            put(f, D.VERB, v)
     for lemma, forms in VERBS_IRREGULAR.items():
         put(lemma, D.VERB, lemma)
         for f in forms.split():
@@ -813,6 +968,23 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
         ("pré", "dire", 0, "prédire"), ("inter", "dire", 0, "interdire"),
         ("dé", "écrire", 1, "décrire"), ("ins", "écrire", 1, "inscrire"),
         ("pres", "écrire", 1, "prescrire"),
+        # round-5: paraître family shares connaître's paradigm minus
+        # the 'conn' stem; recevoir's derivatives swap the 're' prefix
+        ("par", "connaître", 4, "paraître"),
+        ("appar", "connaître", 4, "apparaître"),
+        ("dispar", "connaître", 4, "disparaître"),
+        ("a", "battre", 0, "abattre"), ("com", "battre", 0, "combattre"),
+        ("dé", "battre", 0, "débattre"),
+        ("ac", "cueillir", 0, "accueillir"),
+        ("re", "cueillir", 0, "recueillir"),
+        ("aper", "recevoir", 2, "apercevoir"),
+        ("per", "recevoir", 2, "percevoir"),
+        ("con", "recevoir", 2, "concevoir"),
+        ("dé", "recevoir", 2, "décevoir"),
+        ("pour", "suivre", 0, "poursuivre"),
+        ("r", "envoyer", 0, "renvoyer"),
+        ("en", "fuir", 0, "enfuir"),
+        ("prom", "émouvoir", 2, "promouvoir"),
     ):
         for f in VERBS_IRREGULAR[model].split():
             put(prefix + _strip_marker(f)[model_skip:], D.VERB, lemma)
