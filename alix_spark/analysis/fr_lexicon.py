@@ -914,13 +914,13 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
         adv = _strip_marker(adv).replace("-", " ")
         put(adv, D.ADV, adv)
 
-    for v in VERBS_ER + X.VERBS_ER_EXT:
+    for v in VERBS_ER + X.VERBS_ER_EXT + X.VERBS_ER_THEMATIC:
         lemma = _strip_marker(v)
         if lemma in ("aller", "envoyer", "renvoyer"):  # true irregulars
             continue
         for f in conjugate_er(v):
             put(_strip_marker(f), D.VERB, lemma)
-    for v in VERBS_IR2 + X.VERBS_IR2_EXT:
+    for v in VERBS_IR2 + X.VERBS_IR2_EXT + X.VERBS_IR2_THEMATIC:
         lemma = _strip_marker(v)
         for f in conjugate_ir2(v):
             put(_strip_marker(f), D.VERB, lemma)

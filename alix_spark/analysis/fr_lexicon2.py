@@ -424,3 +424,57 @@ urgent usuel vague0 vaillant0 vain valable véhément véritable
 vertical vétuste vigilant vigoureux virtuel vital vorace vulnérable
 zélé
 """.split()
+
+# --------------------------------------------------------------------- #
+# round-5b: thematic verb batch (maritime, law/commerce, medicine,
+# religion, crafts, cooking, emotion, military, weather/nature,
+# technology, movement) — same family-marker conventions
+# --------------------------------------------------------------------- #
+
+VERBS_ER_THEMATIC = """
+abdiquer abjurer abonner acclimater accoler acculer aduler administrer
+affaisser affaler affecter afficher affiler affilier affiner affleurer
+affluer affoler affubler agglutiner aggraver agoniser agrémenter
+agripper aimanter ajourner amadouer ameuter amidonner amnistier amocher
+anesthésier angoisser annexer annihiler antidater apeurer appareiller
+apparenter appâter approvisionner arrimer aseptiser asphyxier astiquer
+atomiser attenter atténuer attester attrouper augurer auréoler avaliser
+aveugler aviver axer caboter chevaucher écoper flâner gréer haler
+randonner remorquer vadrouiller
+facturer comptabiliser budgétiser exproprier indemniser acquitter
+gracier écrouer statuer parapher contresigner débouter taxer frauder
+resquiller escroquer extorquer
+transfuser perfuser intuber diagnostiquer suturer interner
+radiographier inoculer
+communier canoniser excommunier prophétiser exorciser
+élaguer biner sarcler pailler drainer engranger ferrer limer poncer
+visser boulonner charpenter maçonner goudronner bitumer asphalter
+échafauder ravaler badigeonner décaper lessiver
+rissoler braiser pocher gratiner paner mariner infuser malaxer émincer
+essorer écosser dénoyauter épépiner zester aromatiser pimenter sucrer
+édulcorer réchauffer glacer napper fourrer enfourner
+idolâtrer abhorrer jalouser dédaigner snober réconcilier complimenter
+encenser dénigrer calomnier diffamer offenser injurier invectiver
+épouvanter enthousiasmer enjôler fiancer
+batailler canonner déminer exterminer bivouaquer patrouiller
+démobiliser enrôler incorporer démilitariser réarmer riposter
+grêler venter bruiner givrer verglacer condenser ombrager germer
+fructifier enraciner polliniser essaimer hiverner migrer nidifier
+couver picorer roucouler pépier croasser hululer japper meugler bêler
+coasser
+numériser digitaliser scanner photocopier imprimer faxer texter
+crypter décrypter encoder décoder formater défragmenter compresser
+décompresser téléverser pirater bloguer poster flasher zoomer
+pixelliser étalonner initialiser réinitialiser désinstaller robotiser
+mécaniser
+déraper tituber pirouetter agenouiller contorsionner frétiller gigoter
+piaffer caracoler trottiner faufiler slalomer sprinter freiner
+hypothéquer3 exonérer3 incarcérer3 légiférer3 macérer3 pécher3
+agglomérer3 aliéner3 allécher3 alléguer3 assécher3 affréter3 exécrer3
+paramétrer3 riveter2 carreler2 décongeler1 atermoyer
+""".split()
+
+VERBS_IR2_THEMATIC = """
+bénir pétrir ahurir amaigrir amerrir anoblir aplanir assagir assouvir
+avilir aboutir reverdir barrir accroupir
+""".split()
