@@ -867,7 +867,8 @@ _IRREGULAR_FEM = {
     "roux": "rousse", "doux": "douce", "gros": "grosse",
     "bas": "basse", "épais": "épaisse", "gras": "grasse",
     "favori": "favorite", "public": "publique", "grec": "grecque",
-    "nul": "nulle",
+    "nul": "nulle", "bénin": "bénigne", "malin": "maligne",
+    "aigu": "aiguë",
 }
 
 
@@ -884,12 +885,12 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
     def put(graph: str, tag: int, lemma: str) -> None:
         out.setdefault(graph, (tag, None, lemma))
 
-    for n in NOUNS + X.NOUNS_EXT:
+    for n in NOUNS + X.NOUNS_EXT + X.NOUNS_THEMATIC:
         n = _strip_marker(n)
         put(n, D.SUB, n)
         put(pluralize(n), D.SUB, n)
 
-    for a in ADJECTIVES + X.ADJECTIVES_EXT:
+    for a in ADJECTIVES + X.ADJECTIVES_EXT + X.ADJECTIVES_THEMATIC:
         a = _strip_marker(a)
         fem = _IRREGULAR_FEM.get(a, feminize(a))
         put(a, D.ADJ, a)

@@ -478,3 +478,115 @@ VERBS_IR2_THEMATIC = """
 bénir pétrir ahurir amaigrir amerrir anoblir aplanir assagir assouvir
 avilir aboutir reverdir barrir accroupir
 """.split()
+
+# --------------------------------------------------------------------- #
+# round-5b: noun and adjective batch (animals, plants, materials, body,
+# clothing, kitchen, tools, abstractions)
+# --------------------------------------------------------------------- #
+
+NOUNS_THEMATIC = """
+kilomètre kilo gramme litre mètre centimètre tonne douzaine moitié
+quart tiers majorité minorité totalité ensemble quantité nombre somme
+laboratoire expérience0 théorie hypothèse preuve démonstration formule0
+équation géométrie algèbre physique0 chimie biologie astronomie planète
+comète météore galaxie univers atome molécule cellule organisme microbe
+bactérie virus vaccin remède médicament ordonnance piqûre pansement
+fracture entorse brûlure0 fièvre0 toux rhume grippe0 angine migraine
+vertige nausée symptôme diagnostic chirurgie clinique pharmacie
+infirmerie ambulance brancard
+loup0 renard0 ours0 cerf0 biche chevreuil sanglier0 lièvre blaireau
+belette fouine hermine loutre castor marmotte écureuil hérisson0
+taupe musaraigne chauve-souris0 phoque morse otarie narval béluga
+panthère léopard guépard lynx jaguar puma tigre lion lionne tigresse
+éléphant0 rhinocéros hippopotame girafe zèbre antilope gazelle gnou
+buffle bison yak chameau dromadaire lama alpaga singe gorille
+chimpanzé orang-outan0 babouin lémurien paresseux0 tatou fourmilier
+kangourou koala wombat ornithorynque autruche émeu casoar kiwi
+pélican flamant héron cigogne grue0 ibis spatule cormoran fou0 frégate
+albatros pétrel mouette goéland sterne macareux pingouin manchot
+perroquet perruche cacatoès toucan colibri martinet hirondelle
+rossignol fauvette mésange pinson chardonneret bouvreuil verdier
+alouette grive merle étourneau geai pie corneille choucas vautour
+condor faucon épervier autour buse milan busard chouette hibou effraie
+grand-duc0 coucou huppe pivert sittelle grimpereau troglodyte roitelet
+anguille carpe brochet perche0 sandre silure gardon ablette tanche
+goujon barbeau épinoche esturgeon lamproie sole turbot limande
+cabillaud morue églefin merlan lieu0 colin maquereau hareng sardine
+anchois thon espadon marlin dorade bar0 mulet0 rouget rascasse murène
+congre raie0 torpille0 hippocampe méduse corail anémone éponge étoile0
+oursin concombre0 crabe tourteau étrille homard langouste langoustine
+crevette gambas écrevisse bernard-l'ermite0 bigorneau bulot patelle
+moule0 palourde coque0 praire huître pétoncle coquille0 seiche calmar
+poulpe nautile limace
+chêne0 hêtre charme0 frêne orme érable tilleul peuplier tremble saule
+aulne bouleau noyer0 châtaignier marronnier platane acacia robinier
+cèdre sapin épicéa mélèze pin0 cyprès if genévrier houx buis laurier
+olivier figuier amandier pêcher0 abricotier prunier cerisier pommier
+poirier cognassier néflier sorbier sureau noisetier cornouiller
+aubépine prunellier églantier ronce framboisier groseillier cassissier
+myrtille airelle canneberge genêt bruyère ajonc fougère prêle mousse0
+lichen algue varech roseau jonc carex massette nénuphar lotus iris0
+jonquille narcisse tulipe jacinthe crocus perce-neige0 primevère
+violette0 pensée0 myosotis pâquerette marguerite bleuet coquelicot
+pavot chardon centaurée scabieuse campanule digitale gentiane
+edelweiss orchidée oeillet silène saponaire valériane camomille
+achillée tanaisie armoise absinthe estragon basilic thym romarin
+sauge menthe mélisse verveine origan marjolaine sarriette cerfeuil
+persil coriandre aneth fenouil cumin carvi anis angélique livèche
+oseille épinard bette poireau céleri panais navet radis rutabaga
+topinambour salsifis cardon artichaut asperge courgette aubergine
+poivron piment potiron citrouille courge melon pastèque concombre
+cornichon fève lentille0 pois0 soja arachide sésame tournesol colza
+lin0 chanvre houblon seigle orge avoine millet sorgho sarrasin
+quinoa épeautre maïs riz0
+acier0 fonte0 fer0 cuivre bronze laiton étain plomb zinc nickel
+chrome titane aluminium magnésium mercure0 argent0 or0 platine
+tungstène uranium soufre phosphore carbone silicium calcium sodium
+potassium azote oxygène hydrogène hélium néon argon chlore fluor iode
+granit basalte calcaire grès0 marbre ardoise0 schiste silex quartz
+mica feldspath gypse craie argile0 kaolin tourbe lignite houille
+anthracite pétrole bitume goudron asphalte ciment0 béton0 plâtre
+chaux mortier brique0 tuile parpaing moellon pavé gravier gravillon
+galet caillou
+""".split()
+
+ADJECTIVES_THEMATIC = """
+métallique minéral0 végétal0 organique chimique0 atomique nucléaire
+électronique numérique analogique mécanique0 hydraulique pneumatique
+thermique solaire éolien lunaire planétaire stellaire cosmique
+terrestre maritime fluvial lacustre côtier montagneux vallonné
+désertique aride0 tropical équatorial polaire0 continental insulaire
+urbain rural champêtre agricole forestier boisé herbeux fleuri
+verdoyant0 ombragé ensoleillé pluvieux neigeux brumeux nuageux venteux
+orageux0 glacé0 gelé brûlant0 torride0 caniculaire tempéré clément
+rigoureux0 inclément
+comptable fiscal bancaire monétaire financier commercial industriel
+artisanal agraire foncier immobilier locatif salarial patronal
+syndical contractuel statutaire réglementaire législatif judiciaire
+pénal civique électoral parlementaire ministériel préfectoral
+communal départemental provincial fédéral constitutionnel
+diplomatique consulaire douanier militant pacifiste belliqueux
+stratégique tactique offensif défensif frontalier colonial impérial
+monarchique républicain démocratique aristocratique féodal seigneurial
+princier ducal comtal papal épiscopal paroissial monastique conventuel
+liturgique sacerdotal séculier laïque pieux dévot mystique prophétique
+angélique céleste infernal démoniaque païen profane0 sacrilège
+blasphématoire
+anatomique musculaire osseux nerveux0 sanguin cardiaque pulmonaire
+digestif intestinal hépatique rénal dermique capillaire oculaire
+auditif olfactif tactile gustatif vocal buccal dentaire nasal frontal
+crânien cérébral spinal articulaire squelettique glandulaire hormonal
+immunitaire viral bactérien microbien parasitaire contagieux0
+épidémique chronique aigu0 bénin0 malin1 opératoire postopératoire
+thérapeutique curatif palliatif préventif0 clinique0 ambulatoire
+stérile0 aseptique antiseptique anesthésique
+soyeux0 cotonneux laineux duveteux feutré satiné moiré chatoyant
+rayé quadrillé fleuri0 imprimé brodé tissé tricoté matelassé doublé
+ourlé plissé froncé drapé ajusté cintré évasé moulant0 ample étriqué
+élimé rapiécé reprisé déchiré0 effiloché
+croustillant moelleux fondant onctueux crémeux mousseux pétillant
+gazeux plat0 éventé corsé capiteux fruité boisé0 épicé0 poivré
+vanillé caramélisé grillé0 rôti fumé0 mariné saumuré confit givré0
+glacé1 tiède0 brûlant1 réchauffé rassis frais1 avarié rance moisi
+fermenté
+""".split()
