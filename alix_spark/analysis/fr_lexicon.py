@@ -885,7 +885,7 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
     def put(graph: str, tag: int, lemma: str) -> None:
         out.setdefault(graph, (tag, None, lemma))
 
-    for n in NOUNS + X.NOUNS_EXT + X.NOUNS_THEMATIC:
+    for n in NOUNS + X.NOUNS_EXT + X.NOUNS_THEMATIC + X.NOUNS_DERIVED:
         n = _strip_marker(n)
         put(n, D.SUB, n)
         put(pluralize(n), D.SUB, n)
@@ -915,13 +915,13 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
         adv = _strip_marker(adv).replace("-", " ")
         put(adv, D.ADV, adv)
 
-    for v in VERBS_ER + X.VERBS_ER_EXT + X.VERBS_ER_THEMATIC:
+    for v in VERBS_ER + X.VERBS_ER_EXT + X.VERBS_ER_THEMATIC + X.VERBS_ER_FINAL:
         lemma = _strip_marker(v)
         if lemma in ("aller", "envoyer", "renvoyer"):  # true irregulars
             continue
         for f in conjugate_er(v):
             put(_strip_marker(f), D.VERB, lemma)
-    for v in VERBS_IR2 + X.VERBS_IR2_EXT + X.VERBS_IR2_THEMATIC:
+    for v in VERBS_IR2 + X.VERBS_IR2_EXT + X.VERBS_IR2_THEMATIC + X.VERBS_IR2_FINAL:
         lemma = _strip_marker(v)
         for f in conjugate_ir2(v):
             put(_strip_marker(f), D.VERB, lemma)

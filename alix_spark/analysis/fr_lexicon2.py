@@ -590,3 +590,66 @@ vanillé caramélisé grillé0 rôti fumé0 mariné saumuré confit givré0
 glacé1 tiède0 brûlant1 réchauffé rassis frais1 avarié rance moisi
 fermenté
 """.split()
+
+# --------------------------------------------------------------------- #
+# round-5c: final batch — school/music/sport/household/communication/
+# finance/emotion/time/nature/care verbs, pronominal-typical verbs,
+# and verb-derived nominalizations
+# --------------------------------------------------------------------- #
+
+VERBS_ER_FINAL = """
+bachoter plancher disserter éduquer fredonner siffloter désaccorder
+pianoter vocaliser bluffer distancer lober plaquer tacler désencombrer
+défroisser détartrer dégraisser décrasser ramoner rempoter désherber
+composter recycler argumenter objecter marmonner bafouiller zozoter
+égosiller monologuer papoter jacasser cancaner consterner atterrer
+effarer stupéfier méduser désarçonner chambouler décontenancer
+repousser perdurer éterniser écourter pérenniser expirer inventorier
+serpenter cascader dégouliner déferler refluer clapoter moutonner
+bouillonner épiler démaquiller pomponner manucurer déguster goinfrer
+bâfrer jeûner souper méfier soucier évertuer exclamer écrier
+prosterner esclaffer lamenter rebeller réfugier suicider vautrer
+insurger thésauriser boursicoter dilapider provisionner défiscaliser
+dévaluer réévaluer
+commérer3 rasséréner3 décacheter2 banqueter2
+""".split()
+
+VERBS_IR2_FINAL = """
+abasourdir jaillir rejaillir resurgir assoupir dégrossir glapir aigrir
+""".split()
+
+NOUNS_DERIVED = """
+lavage nettoyage repassage bricolage jardinage arrosage élagage
+ramonage recyclage compostage rangement déménagement emménagement
+aménagement déroulement enroulement gonflement dégonflement
+froissement craquement claquement grincement sifflement ronflement
+bourdonnement vrombissement gazouillis cliquetis gargouillis hachis
+roulis tangage chavirement naufrage abordage accostage amarrage
+remorquage pilotage atterrissage décollage amerrissage survol envol
+essor formation déformation information0 réforme transformation
+création récréation construction reconstruction instruction traduction
+production reproduction introduction réduction séduction déduction
+conduite cuisson punition récompense félicitation encouragement
+enseignement0 éducation scolarisation révision rédaction dissertation
+récitation mémorisation correction notation vaccination anesthésie
+transfusion perfusion intubation suture internement radiographie
+inoculation contamination infection immunisation guérison
+cicatrisation rééducation hospitalisation consultation auscultation
+amputation greffe plantation moisson récolte vendange semis labour
+fauchage irrigation drainage fertilisation maçonnerie menuiserie
+plomberie toiture isolation ventilation climatisation chauffage
+éclairage navigation croisière mouillage célébration bénédiction
+communion prière sermon prêche baptême procession pèlerinage
+négociation facturation comptabilité fiscalité imposition taxation
+exonération fraude escroquerie extorsion détournement blanchiment
+arrestation incarcération détention libération acquittement
+condamnation plaidoirie réquisitoire verdict sentence procès tribunal
+barreau magistrature chant couture tricot tissage filage teinture
+dégustation jeûne souper0 maquillage démaquillage épilation manucure
+coiffure0 brossage tressage rasage massage tatouage bronzage
+communication0 conversation0 dialogue argumentation objection
+murmure chuchotement bégaiement monologue commérage cancan
+épargne placement investissement spéculation remboursement emprunt0
+endettement liquidation cotisation amortissement dévaluation
+réévaluation indexation plafonnement
+""".split()
