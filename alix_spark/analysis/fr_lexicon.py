@@ -368,7 +368,7 @@ VERBS_IRREGULAR: dict[str, str] = {
     # guard had no matching paradigm, leaving it formless
     "battre": "bats bat battons battez battent battais battait "
               "battions battiez battaient battis battit battîmes "
-              "battirent battrai battras battra battrons battrez "
+              "battirent battîtes battrai battras battra battrons battrez "
               "battront battrais battrait battrions battriez "
               "battraient batte battes battent0 battu battue battus "
               "battues battant",
@@ -410,7 +410,9 @@ VERBS_IRREGULAR: dict[str, str] = {
     "bouillir": "bous bout bouillons bouillez bouillent bouillais "
                 "bouillait bouillions bouilliez bouillaient bouillis "
                 "bouillit bouillirent bouillirai bouilliras bouillira "
-                "bouillirons bouillirez bouilliront bouille bouilles "
+                "bouillîmes bouillirons bouillirez bouilliront bouillirais "
+                "bouillirait bouillirions bouilliriez bouilliraient "
+                "bouille bouilles "
                 "bouilli bouillie bouillis0 bouillies bouillant",
     "coudre": "couds coud cousons cousez cousent cousais cousait "
               "cousions cousiez cousaient cousis cousit cousirent "
@@ -419,16 +421,19 @@ VERBS_IRREGULAR: dict[str, str] = {
               "couses cousu cousue cousus cousues cousant",
     "moudre": "mouds moud moulons moulez moulent moulais moulait "
               "moulions mouliez moulaient moulus moulut moulurent "
-              "moudrai moudras moudra moudrons moudrez moudront "
+              "moulûmes moudrai moudras moudra moudrons moudrez moudront "
+              "moudrais moudrait moudrions moudriez moudraient "
               "moule moules moulu moulue moulus0 moulues moulant",
     "suffire": "suffis suffit suffisons suffisez suffisent suffisais "
                "suffisait suffisions suffisiez suffisaient suffîmes "
                "suffirent suffirai suffiras suffira suffirons suffirez "
-               "suffiront suffise suffises suffi suffisant",
+               "suffiront suffirais suffirait suffirions suffiriez suffiraient "
+               "suffise suffises suffi suffisant",
     "croître": "croîs croît croissons croissez croissent croissais "
                "croissait croissions croissiez croissaient crûs crût "
                "crûmes crûrent croîtrai croîtras croîtra croîtrons "
-               "croîtrez croîtront croisse croisses crû crue crus0 "
+               "croîtrez croîtront croîtrais croîtrait croîtrions croîtriez "
+               "croîtraient croisse croisses crû crue crus0 "
                "crues croissant",
     "résoudre": "résous résout résolvons résolvez résolvent résolvais "
                 "résolvait résolvions résolviez résolvaient résolus "
@@ -439,7 +444,8 @@ VERBS_IRREGULAR: dict[str, str] = {
     "asseoir": "assieds assied asseyons asseyez asseyent asseyais "
                "asseyait asseyions asseyiez asseyaient assis assit "
                "assîmes assirent assiérai assiéras assiéra assiérons "
-               "assiérez assiéront assiérais assiérait asseye asseyes "
+               "assiérez assiéront assiérais assiérait assiérions assiériez "
+               "assiéraient assoirais assoirait asseye asseyes "
                "assois assoit assoyons assoyez assoient assoirai "
                "assoiras assoira assoirons assoirez assoiront assise "
                "assises assis0 asseyant assoyant",
@@ -450,7 +456,8 @@ VERBS_IRREGULAR: dict[str, str] = {
                 "émouvriez émouvraient émeuve émeuves ému émue émus0 "
                 "émues émouvant",
     "envoyer": "envoie envoies envoyons envoyez envoient envoyais "
-               "envoyait envoyions envoyiez envoyaient envoyai envoya "
+               "envoyait envoyions envoyiez envoyaient envoyai envoyas envoya "
+               "envoyâtes "
                "envoyâmes envoyèrent enverrai enverras enverra "
                "enverrons enverrez enverront enverrais enverrait "
                "enverrions enverriez enverraient envoyé envoyée "
@@ -795,9 +802,9 @@ def conjugate_indre(inf: str) -> set[str]:
     for e in ("ons", "ez", "ent", "ais", "ait", "ions", "iez", "aient",
               "is", "it", "îmes", "îtes", "irent", "e", "es", "ant"):
         forms.add(gn + e)
-    for e in ("rai", "ras", "ra", "rons", "rez", "ront",
-              "rais", "rait", "rions", "riez", "raient"):
-        forms.add(inf[:-1] + e)  # craindrai
+    for e in ("ai", "as", "a", "ons", "ez", "ont",
+              "ais", "ait", "ions", "iez", "aient"):
+        forms.add(inf[:-1] + e)  # craindr+ai — the stem keeps inf's 'r'
     for e in ("te", "ts", "tes"):
         forms.add(stem + e)  # crainte craints craintes (pp masc = 3sg)
     return forms
@@ -885,7 +892,7 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
     def put(graph: str, tag: int, lemma: str) -> None:
         out.setdefault(graph, (tag, None, lemma))
 
-    for n in NOUNS + X.NOUNS_EXT + X.NOUNS_THEMATIC + X.NOUNS_DERIVED:
+    for n in (NOUNS + X.NOUNS_EXT + X.NOUNS_THEMATIC + X.NOUNS_DERIVED + X.NOUNS_HOMOGRAPH):
         n = _strip_marker(n)
         put(n, D.SUB, n)
         put(pluralize(n), D.SUB, n)

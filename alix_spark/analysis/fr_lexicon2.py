@@ -488,7 +488,7 @@ NOUNS_THEMATIC = """
 kilomètre kilo gramme litre mètre centimètre tonne douzaine moitié
 quart tiers majorité minorité totalité ensemble quantité nombre somme
 laboratoire expérience0 théorie hypothèse preuve démonstration formule0
-équation géométrie algèbre physique0 chimie biologie astronomie planète
+équation géométrie algèbre chimie biologie astronomie planète
 comète météore galaxie univers atome molécule cellule organisme microbe
 bactérie virus vaccin remède médicament ordonnance piqûre pansement
 fracture entorse brûlure0 fièvre0 toux rhume grippe0 angine migraine
@@ -500,9 +500,9 @@ taupe musaraigne chauve-souris0 phoque morse otarie narval béluga
 panthère léopard guépard lynx jaguar puma tigre lion lionne tigresse
 éléphant0 rhinocéros hippopotame girafe zèbre antilope gazelle gnou
 buffle bison yak chameau dromadaire lama alpaga singe gorille
-chimpanzé orang-outan0 babouin lémurien paresseux0 tatou fourmilier
+chimpanzé orang-outan0 babouin lémurien tatou fourmilier
 kangourou koala wombat ornithorynque autruche émeu casoar kiwi
-pélican flamant héron cigogne grue0 ibis spatule cormoran fou0 frégate
+pélican flamant héron cigogne grue0 ibis spatule cormoran frégate
 albatros pétrel mouette goéland sterne macareux pingouin manchot
 perroquet perruche cacatoès toucan colibri martinet hirondelle
 rossignol fauvette mésange pinson chardonneret bouvreuil verdier
@@ -652,4 +652,15 @@ murmure chuchotement bégaiement monologue commérage cancan
 épargne placement investissement spéculation remboursement emprunt0
 endettement liquidation cotisation amortissement dévaluation
 réévaluation indexation plafonnement
+""".split()
+
+# nouns whose graphs common verbs would otherwise claim (the stated
+# noun-first priority only works if the noun is listed — review r5c)
+NOUNS_HOMOGRAPH = """
+glace planche paille poste teint teinte atteinte feinte étreinte
+empreinte contrainte plainte joint enduit réduit produit lobe plaque
+zeste nappe braise poche germe couronne cire dose pompe sonde suicide
+commère banquette peine mine niche bride souffle valse voile vrille
+zone tresse tasse prime tranche pointe marque touche gifle lime cale
+grille rature rafle trempe
 """.split()
