@@ -168,17 +168,22 @@ class Corpus:
             )
         if parsed.wildcards:
             # expand prefixes against the vocabulary (reference:
-            # WildcardQuery, Alix.java:731-734). Vocab filter is a tiny scan.
+            # WildcardQuery, Alix.java:731-734). All prefixes are OR'ed
+            # into ONE pruned scan of the forms table — one Spark job
+            # for any number of wildcards (same shape as
+            # index/reader.py::expand_wildcards).
+            cond = F.col("term").startswith(parsed.wildcards[0])
+            for prefix in parsed.wildcards[1:]:
+                cond = cond | F.col("term").startswith(prefix)
+            matched = [
+                r["term"]
+                for r in self.forms.filter(cond).select("term").collect()
+            ]
+            # preserve the per-prefix expansion order of the old loop
             for prefix in parsed.wildcards:
-                expanded = [
-                    r["term"]
-                    for r in self.forms.filter(
-                        F.col("term").startswith(prefix)
-                    )
-                    .select("term")
-                    .collect()
-                ]
-                parsed.should.extend(expanded)
+                parsed.should.extend(
+                    t for t in matched if t.startswith(prefix)
+                )
             parsed.wildcards = []
         return parsed
 

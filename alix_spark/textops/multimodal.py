@@ -105,18 +105,21 @@ def synthesize_media(
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an HxWxC (or HxW for grayscale) uint8
-    array. UNCOMPRESSED formats are decoded in pure numpy — PPM/PGM
-    (P2/P3/P5/P6) and BI_RGB BMP (8/24/32-bit) need no codec library.
-    Compressed formats (JPEG/PNG/...) still require PIL/opencv, which
-    this container doesn't ship — those raise NotImplementedError, the
-    declared stub boundary."""
+    array, pure numpy + stdlib: PPM/PGM (P2/P3/P5/P6), BI_RGB BMP
+    (8/24/32-bit), and non-interlaced 8-bit PNG (gray / gray+alpha /
+    RGB / RGBA — ``zlib`` inflate + the five scanline filters
+    vectorized). JPEG (and interlaced/palette/16-bit PNG) genuinely
+    require a codec library this container doesn't ship — those raise
+    NotImplementedError, the declared stub boundary."""
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "compressed image decode requires PIL/opencv — not available in "
-        "this container; PPM/PGM/BMP decode natively"
+        "JPEG decode requires PIL/opencv — not available in this "
+        "container; PPM/PGM/BMP/PNG decode natively"
     )
 
 
@@ -183,6 +186,154 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return px[:, :, 2::-1].copy()  # BGR(A) -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized over int64 sample arrays
+    (a=left, b=up, c=up-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (color types 0/2/4/6) with stdlib
+    ``zlib`` + numpy unfiltering: None/Up are whole-row vectorized, Sub
+    is a per-lane cumsum (mod-256 addition is linear, so int64 cumsum
+    & 255 is exact), Average/Paeth walk pixels with all samples of a
+    pixel vectorized."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, idat = 8, []
+    w = h = None
+    bit_depth = color_type = interlace = None
+    while i + 8 <= len(payload):
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        i += 12 + ln
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, interlace = data[8], data[9], data[12]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if bit_depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise NotImplementedError("palette PNG not supported")
+    import zlib
+
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=h * (stride + 1)
+    ).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int64)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 1:  # Sub
+            rec = (cur.reshape(w, bpp).cumsum(axis=0).reshape(stride)) & 255
+        elif ftype == 2:  # Up
+            rec = (cur + prior) & 255
+        elif ftype in (3, 4):  # Average / Paeth
+            rec = np.empty(stride, dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                sl = slice(x * bpp, (x + 1) * bpp)
+                up = prior[sl]
+                pred = (
+                    (left + up) >> 1
+                    if ftype == 3
+                    else _paeth_pred(left, up, upleft)
+                )
+                rec[sl] = (cur[sl] + pred) & 255
+                left, upleft = rec[sl], up
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec
+        prior = rec
+    img = out.reshape(h, w, channels)
+    return img[:, :, 0].copy() if channels == 1 else img
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 HxW / HxWx{2,3,4} -> non-interlaced 8-bit PNG. Row filters
+    cycle 0..4 (None/Sub/Up/Average/Paeth) so a roundtrip exercises
+    every unfilter branch of :func:`_decode_png`."""
+    import zlib
+
+    h, w = img.shape[:2]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    px = img.reshape(h, w * channels).astype(np.uint8)
+    bpp = channels
+    zeros = np.zeros(bpp, dtype=np.int64)
+    prior = np.zeros(w * channels, dtype=np.int64)
+    scan = bytearray()
+    for y in range(h):
+        ftype = y % 5
+        cur = px[y].astype(np.int64)
+        left = np.concatenate([zeros, cur[:-bpp]]) if cur.size > bpp else (
+            np.zeros_like(cur)
+        )
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = (cur - left) & 255
+        elif ftype == 2:
+            filt = (cur - prior) & 255
+        elif ftype == 3:
+            filt = (cur - ((left + prior) >> 1)) & 255
+        else:
+            upleft = (
+                np.concatenate([zeros, prior[:-bpp]])
+                if prior.size > bpp
+                else np.zeros_like(prior)
+            )
+            filt = (cur - _paeth_pred(left, prior, upleft)) & 255
+        scan.append(ftype)
+        scan.extend(filt.astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """RGB uint8 HxWx3 -> binary PPM (P6)."""
     h, w, _ = img.shape
@@ -236,8 +387,14 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_image(bytes(payload))
-                fmt = "ppm" if bytes(payload[:1]) == b"P" else "bmp"
+                payload = bytes(payload)
+                img = decode_image(payload)
+                if payload[:1] == b"P":
+                    fmt = "ppm"
+                elif payload[:8] == _PNG_SIG:
+                    fmt = "png"
+                else:
+                    fmt = "bmp"
                 means = img.reshape(img.shape[0], img.shape[1], -1).mean(
                     axis=(0, 1)
                 )

@@ -423,8 +423,13 @@ def doc_shared_vocab(
     pb = postings.filter(F.col("doc_id") == doc_b).select(
         "term", F.col("tf").alias("tf_b")
     )
-    la = doc_lens.filter(F.col("doc_id") == doc_a).collect()[0]["dl"]
-    lb = doc_lens.filter(F.col("doc_id") == doc_b).collect()[0]["dl"]
+    lens = {
+        r["doc_id"]: r["dl"]
+        for r in doc_lens.filter(
+            F.col("doc_id").isin([doc_a, doc_b])
+        ).collect()
+    }
+    la, lb = lens[doc_a], lens[doc_b]
     return (
         pa.join(pb, "term")
         .withColumn(

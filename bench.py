@@ -223,13 +223,21 @@ def main() -> None:
         .limit(50)
         .collect(),
     )
-    timed(
-        "bigrams",
-        lambda: ngrams_mod.bigrams(tokens)
-        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
-        .limit(50)
-        .collect(),
-    )
+    # bigrams now times the rails serving path (build_rails + map-side
+    # pair emit) — the r6 fix for the worst sf1 scaler; the token-join
+    # variant remains as the pytest cross-check path.
+    def bigrams_rails_bench():
+        from alix_spark.cooc.rails import build_rails
+
+        rails = build_rails(tokens, cq.forms)
+        return (
+            ngrams_mod.bigrams_rails(rails, cq.forms)
+            .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+            .limit(50)
+            .collect()
+        )
+
+    timed("bigrams", bigrams_rails_bench)
 
     def minhash():
         sigs = dedup_mod.minhash_signatures(docs)

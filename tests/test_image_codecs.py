@@ -1,10 +1,12 @@
-"""Pure-numpy PPM/PGM/BMP decode (textops/multimodal.py).
+"""Pure-numpy PPM/PGM/BMP/PNG decode (textops/multimodal.py).
 
-Uncompressed formats need no codec library, so `decode_image` is a real
-decoder for them; only compressed formats remain behind the declared
+PPM/PGM/BMP need no codec library; PNG (r6) needs only stdlib zlib +
+numpy unfiltering, so `decode_image` is a real decoder for all four.
+Only JPEG (and interlaced/palette/16-bit PNG) remain behind the declared
 NotImplementedError stub. Roundtrips cover the classic trip-up cases:
 BMP row padding (width not a multiple of 4), bottom-up vs top-down row
-order, BGR channel order, PNM header comments, ascii variants.
+order, BGR channel order, PNM header comments, ascii variants, and all
+five PNG scanline filters (the encoder cycles them per row).
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ import pytest
 from alix_spark.textops.multimodal import (
     decode_image,
     encode_bmp,
+    encode_png,
     encode_ppm,
 )
 
@@ -75,8 +78,37 @@ def test_top_down_bmp():
     assert np.array_equal(decode_image(bytes(raw)), img)
 
 
+@pytest.mark.parametrize("shape", [(8, 8), (5, 7), (1, 1), (3, 2), (12, 4)])
+def test_png_rgb_roundtrip(shape):
+    # >=5 rows exercises every scanline filter (encoder cycles 0..4)
+    img = _img(*shape, seed=6)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 4])
+def test_png_gray_and_alpha_roundtrip(channels):
+    rng = np.random.default_rng(8)
+    shape = (7, 5) if channels == 1 else (7, 5, channels)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+
+
+def test_png_gradient_means_match_formula():
+    # the multimodal_decode oracle's pixel formula through the PNG path
+    r = np.arange(8).reshape(8, 1, 1)
+    c = np.arange(8).reshape(1, 8, 1)
+    ch = np.arange(3).reshape(1, 1, 3)
+    img = ((5 * 7 + r * 3 + c * 5 + ch * 11) % 256).astype(np.uint8)
+    out = decode_image(encode_png(img))
+    assert np.array_equal(out, img)
+
+
 def test_compressed_formats_still_stub():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0JFIF....")
+    # PNG variants outside the implemented envelope stay declared stubs
+    interlaced = bytearray(encode_png(_img(4, 4, seed=9)))
+    ihdr_off = 8 + 8  # sig + len/type
+    interlaced[ihdr_off + 12] = 1  # interlace flag inside IHDR data
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(interlaced))

@@ -68,21 +68,61 @@ def test_bm25_pushdown_and_bounded_topk(ctx):
         assert bad not in p
 
 
-@pytest.mark.parametrize("op", ["cooc_window", "word_network", "bigrams"])
+@pytest.mark.parametrize(
+    "op",
+    [
+        "cooc_window",
+        "word_network",
+        "bigrams",
+        "bigrams_rails",
+        "word_network_rails",
+    ],
+)
 def test_positional_ops_no_blowup_joins(ctx, op):
     from alix_spark.cooc import ngrams as ngrams_mod
     from alix_spark.cooc import window as window_mod
+    from alix_spark.cooc.rails import build_rails
 
     c, _, _ = ctx
     if op == "cooc_window":
         df = window_mod.cooc_window(c.tokens, "fast", 3, 3)
     elif op == "word_network":
         _, df = ngrams_mod.word_network(c.tokens, width=3)
-    else:
+    elif op == "bigrams":
         df = ngrams_mod.bigrams(c.tokens)
+    else:
+        rails = build_rails(c.tokens, c.forms)
+        if op == "bigrams_rails":
+            df = ngrams_mod.bigrams_rails(rails, c.forms)
+        else:
+            df = ngrams_mod.word_network_rails(rails, c.forms, width=3)
     p = plan_of(df)
     for bad in FORBIDDEN:
         assert bad not in p, f"{op} plans a {bad}"
+
+
+def test_rails_ngrams_match_join_path(ctx):
+    """The map-side rails serving path (r6 scale fix) is row-identical
+    to the positional-join cross-check path for both C5 and C6."""
+    from alix_spark.cooc import ngrams as ngrams_mod
+    from alix_spark.cooc.rails import build_rails
+
+    c, _, _ = ctx
+    rails = build_rails(c.tokens, c.forms)
+    jb = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in ngrams_mod.bigrams(c.tokens).collect()
+    }
+    rb = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in ngrams_mod.bigrams_rails(rails, c.forms).collect()
+    }
+    assert jb == rb and len(jb) > 0
+    _, ej = ngrams_mod.word_network(c.tokens, width=3)
+    er = ngrams_mod.word_network_rails(rails, c.forms, width=3)
+    jn = {(r["w1"], r["w2"]): r["n"] for r in ej.collect()}
+    rn = {(r["w1"], r["w2"]): r["n"] for r in er.collect()}
+    assert jn == rn and len(jn) > 0
 
 
 def test_int_range_parquet_pruning(spark, tmp_path):
