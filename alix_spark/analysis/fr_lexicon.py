@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from alix_spark.analysis import fr_dicts as D
 from alix_spark.analysis import fr_lexicon2 as X
+from alix_spark.analysis import fr_lexicon3 as Y
 
 # --------------------------------------------------------------------- #
 # lemma inventories (curated common vocabulary — ~1,800 lemmas)
@@ -137,7 +138,7 @@ chercher0 marcher0 toucher0 coucher accoucher boucher déboucher
 mâcher cracher arracher attacher détacher cacher fâcher gâcher lâcher
 pencher trancher brancher débrancher étancher
 pêcher empêcher dépêcher prêcher lécher3
-piocher approcher reprocher accrocher décrocher toucher1
+piocher approcher reprocher accrocher décrocher
 brûler calculer0 reculer circuler articuler basculer bousculer
 accumuler stimuler simuler dissimuler formuler
 régaler installer0 caler décaler intercaler signaler avaler dévaler
@@ -150,7 +151,7 @@ sauver laver délaver relaver graver aggraver
 rêver0 abreuver éprouver prouver approuver
 trouver0 retrouver
 creuser0 épouser exploser imploser déposer0 entreposer
-poser0 pauser0 causer1
+poser0 pauser0
 durer endurer perdurer murer emmurer assurer rassurer mesurer
 censurer fissurer saturer facturer fracturer capturer torturer
 clôturer figurer défigurer
@@ -374,7 +375,7 @@ VERBS_IRREGULAR: dict[str, str] = {
               "battues battant",
     "conclure": "conclus conclut concluons concluez concluent "
                 "concluais concluait concluions concluiez concluaient "
-                "conclûmes conclurent conclurai concluras conclura "
+                "conclûmes conclûtes conclurent conclurai concluras conclura "
                 "conclurons conclurez concluront conclurais conclurait "
                 "conclurions concluriez concluraient conclue conclues "
                 "conclu conclue0 conclues0 concluant",
@@ -391,7 +392,7 @@ VERBS_IRREGULAR: dict[str, str] = {
                "vaincrait vaincrions vaincriez vaincraient vainque "
                "vainques vaincu vaincue vaincus vaincues vainquant",
     "fuir": "fuis fuit fuyons fuyez fuient fuyais fuyait fuyions "
-            "fuyiez fuyaient fuîmes fuirent fuirai fuiras fuira "
+            "fuyiez fuyaient fuîmes fuîtes fuirent fuirai fuiras fuira "
             "fuirons fuirez fuiront fuirais fuirait fuirions fuiriez "
             "fuiraient fuie fuies fui fuie0 fuis0 fuies0 fuyant",
     "acquérir": "acquiers acquiert acquérons acquérez acquièrent "
@@ -410,7 +411,7 @@ VERBS_IRREGULAR: dict[str, str] = {
     "bouillir": "bous bout bouillons bouillez bouillent bouillais "
                 "bouillait bouillions bouilliez bouillaient bouillis "
                 "bouillit bouillirent bouillirai bouilliras bouillira "
-                "bouillîmes bouillirons bouillirez bouilliront bouillirais "
+                "bouillîmes bouillîtes bouillirons bouillirez bouilliront bouillirais "
                 "bouillirait bouillirions bouilliriez bouilliraient "
                 "bouille bouilles "
                 "bouilli bouillie bouillis0 bouillies bouillant",
@@ -431,7 +432,7 @@ VERBS_IRREGULAR: dict[str, str] = {
                "suffise suffises suffi suffisant",
     "croître": "croîs croît croissons croissez croissent croissais "
                "croissait croissions croissiez croissaient crûs crût "
-               "crûmes crûrent croîtrai croîtras croîtra croîtrons "
+               "crûmes crûtes crûrent croîtrai croîtras croîtra croîtrons "
                "croîtrez croîtront croîtrais croîtrait croîtrions croîtriez "
                "croîtraient croisse croisses crû crue crus0 "
                "crues croissant",
@@ -685,12 +686,14 @@ def conjugate_er(inf: str) -> set[str]:
             s = stem[:-1] + "i"
         elif family == 1:  # acheter → achète (last e of stem → è)
             i = max(stem.rfind("e"), stem.rfind("é"))
-            s = stem[:i] + "è" + stem[i + 1 :]
+            if i >= 0:  # a mis-flagged e-less stem must not corrupt
+                s = stem[:i] + "è" + stem[i + 1 :]
         elif family == 2:  # appeler → appelle (double the consonant)
             s = stem + stem[-1]
         elif family == 3:  # préférer → préfère (last é → è)
             i = stem.rfind("é")
-            s = stem[:i] + "è" + stem[i + 1 :]
+            if i >= 0:
+                s = stem[:i] + "è" + stem[i + 1 :]
         return s + ending
 
     fut_stem = {1: mute(""), 2: mute("")}.get(family, stem)
@@ -892,12 +895,30 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
     def put(graph: str, tag: int, lemma: str) -> None:
         out.setdefault(graph, (tag, None, lemma))
 
-    for n in (NOUNS + X.NOUNS_EXT + X.NOUNS_THEMATIC + X.NOUNS_DERIVED + X.NOUNS_HOMOGRAPH):
+    for n in (NOUNS + X.NOUNS_EXT + X.NOUNS_THEMATIC + X.NOUNS_DERIVED + X.NOUNS_HOMOGRAPH
+              + Y.NOUNS_BATCH + Y.NOUNS_BATCH_B + Y.NOUNS_BATCH_C):
         n = _strip_marker(n)
         put(n, D.SUB, n)
         put(pluralize(n), D.SUB, n)
 
-    for a in ADJECTIVES + X.ADJECTIVES_EXT + X.ADJECTIVES_THEMATIC:
+    # near-exceptionless nominalizations of the derivational verb
+    # families: -iser → -isation, -ifier → -ification (réaliser →
+    # réalisation, amplifier → amplification)
+    for v in X.VERBS_ER_ISER.split() + [
+        w for w in Y.VERBS_ER_MODERN if _strip_marker(w).endswith(("iser", "ifier"))
+    ]:
+        v = _strip_marker(v)
+        if v.endswith("iser"):
+            n = v[:-4] + "isation"
+        elif v.endswith("ifier"):
+            n = v[:-5] + "ification"
+        else:
+            continue
+        put(n, D.SUB, n)
+        put(pluralize(n), D.SUB, n)
+
+    for a in (ADJECTIVES + X.ADJECTIVES_EXT + X.ADJECTIVES_THEMATIC + Y.ADJS_BATCH
+              + Y.ADJS_BATCH_B):
         a = _strip_marker(a)
         fem = _IRREGULAR_FEM.get(a, feminize(a))
         put(a, D.ADJ, a)
@@ -922,13 +943,18 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
         adv = _strip_marker(adv).replace("-", " ")
         put(adv, D.ADV, adv)
 
-    for v in VERBS_ER + X.VERBS_ER_EXT + X.VERBS_ER_THEMATIC + X.VERBS_ER_FINAL:
+    for v in (VERBS_ER + X.VERBS_ER_EXT + X.VERBS_ER_THEMATIC + X.VERBS_ER_FINAL
+              + Y.VERBS_ER_CRAFT + Y.VERBS_ER_COOKING + Y.VERBS_ER_OUTDOORS
+              + Y.VERBS_ER_BODY + Y.VERBS_ER_SOUNDS + Y.VERBS_ER_MOVEMENT
+              + Y.VERBS_ER_CIVIC + Y.VERBS_ER_EVERYDAY + Y.VERBS_ER_SOCIETY
+              + Y.VERBS_ER_MODERN + Y.VERBS_ER_LAST + Y.VERBS_ER_FINAL2):
         lemma = _strip_marker(v)
         if lemma in ("aller", "envoyer", "renvoyer"):  # true irregulars
             continue
         for f in conjugate_er(v):
             put(_strip_marker(f), D.VERB, lemma)
-    for v in VERBS_IR2 + X.VERBS_IR2_EXT + X.VERBS_IR2_THEMATIC + X.VERBS_IR2_FINAL:
+    for v in (VERBS_IR2 + X.VERBS_IR2_EXT + X.VERBS_IR2_THEMATIC
+              + X.VERBS_IR2_FINAL + Y.VERBS_IR2_BATCH):
         lemma = _strip_marker(v)
         for f in conjugate_ir2(v):
             put(_strip_marker(f), D.VERB, lemma)
