@@ -3,14 +3,28 @@
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-`value` = total wall seconds of the headline suite (lower is better).
+`value` = total wall seconds of the headline suite at $SPARK_GRAFT_SF_DIR
+(lower is better; sf0.1 by default, keeping r1..r5 comparability). Since
+r6 the same line also carries:
+
+- "calibration_sec": a FIXED single-process CPU kernel (seeded numpy
+  matmul + a pure-python integer loop) timed before Spark starts. Host
+  weather moved recorded suites ±35% across rounds 4-5 with unchanged
+  code; dividing suite seconds by the calibration makes cross-round
+  deltas self-normalizing.
+- "sf1": the same suite re-run at 50k docs (tools/gen_sf.py synthesizes
+  /tmp/sf1 deterministically from the measured sf0.1 distributions,
+  seed 42, on first use). The 5k-doc corpus is overhead-dominated;
+  round-over-round engine deltas should be read at sf1. Set
+  SPARK_GRAFT_SF1=0 to skip.
+
 Also reports index-build docs/sec (the north-rule throughput number) in
 the queries map as "index_build_docs_per_sec" (higher is better; not a
 latency).
 
-Scaling evidence (local[8] vs local[32]) is produced by bench_scaling.py
-and recorded in BENCH/BASELINE.md — not here, to keep the per-round bench
-fast.
+Scaling evidence (local[1] vs local[4] etc.) is produced by
+bench_scaling.py and recorded in BENCH/BASELINE.md — not here, to keep
+the per-round bench fast.
 """
 
 from __future__ import annotations
@@ -26,34 +40,116 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SF1_DIR = "/tmp/sf1"
 
 
-def main() -> None:
+def calibrate() -> float:
+    """Fixed CPU-speed kernel, run before Spark starts: 6 seeded
+    1000x1000 matmul rounds + 2M pure-python LCG steps. Deterministic
+    work, so the measured seconds price THIS host at THIS moment —
+    the denominator for cross-round suite comparisons."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1000, 1000))
+    t0 = time.time()
+    for _ in range(6):
+        a = a @ a
+        a /= np.abs(a).max() + 1.0
+    x = 0
+    for _ in range(2_000_000):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return round(time.time() - t0, 3)
+
+
+def ensure_sf1() -> str | None:
+    """Synthesize the deterministic 50k-doc corpus on first use (seed 42,
+    distributions measured from the read-only sf0.1 tables)."""
+    if os.path.isdir(SF1_DIR) and os.path.exists(f"{SF1_DIR}/documents.parquet"):
+        return SF1_DIR
+    try:
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "gen_sf.py"), SF1_DIR],
+            check=True,
+            capture_output=True,
+            timeout=600,
+        )
+        return SF1_DIR
+    except Exception:
+        return None
+
+
+def ab_prev_round(sf_dir: str) -> dict | None:
+    """Same-session A/B vs the previous round's driver commit (the last
+    'round N: ...' commit): check it out into a cached /tmp worktree and
+    run ITS bench.py minutes after ours on the same host. Rounds 4-5
+    each burned hours on 26->39 s "regressions" that an A/B resolved as
+    host weather; this makes every recorded bench carry its own control.
+    Runs AFTER spark.stop() so the legs don't contend."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        commit = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-1", "--format=%H"],
+            cwd=here, capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+        if not commit:
+            return None
+        wt = f"/tmp/alix_ab_{commit[:12]}"
+        if not os.path.isdir(wt):
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", wt, commit],
+                cwd=here, capture_output=True, timeout=60, check=True,
+            )
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF1="0",  # control leg: sf0.1 suite only
+            SPARK_GRAFT_AB="0",  # no recursive A/B once r6+ is the control
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_CPUS=str(CPUS),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py")],
+            cwd=wt, env=env, capture_output=True, text=True, timeout=420,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{") and line.endswith("}"):
+                prev = json.loads(line)
+                return {
+                    "commit": commit[:12],
+                    "suite_sec": prev.get("value"),
+                    "queries": prev.get("queries"),
+                }
+        return {"commit": commit[:12], "error": f"no json (rc={out.returncode})"}
+    except Exception as e:  # A/B is evidence, never a bench failure
+        return {"error": str(e)[:200]}
+
+
+def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, int]:
+    """The headline suite at one scale factor. Returns (timings, n_docs)."""
     from pyspark.sql import functions as F
 
-    from alix_spark import Corpus, get_spark
+    from alix_spark import Corpus
     from alix_spark.cooc import ngrams as ngrams_mod
     from alix_spark.cooc import window as window_mod
     from alix_spark.stats import fieldtext as ft_mod
     from alix_spark.textops import dedup as dedup_mod
     from alix_spark.textops import similarity as sim_mod
 
-    spark = get_spark(
-        app_name="alix-bench",
-        master=f"local[{CPUS}]",
-        shuffle_partitions=int(CPUS),
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
     # the tiny bench parquet arrives as 1-2 splits; spread it so UDF
     # kernels and the tokenize stage use every core (a real corpus would
     # already have many input splits)
     docs = (
-        spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        .repartition(int(CPUS))
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(cpus)
         .cache()
     )
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):
@@ -81,7 +177,7 @@ def main() -> None:
         ib.build_forms(p).write.mode("overwrite").parquet(f"{tmp}/forms")
 
     timed("index_build", build_index)
-    docs_per_sec = round(n_docs / timings["index_build"], 1)
+    timings["_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
     # offsets table (render-serving term vectors with offsets — a
     # build_index.py stage since r3; map-only Arrow kernel + write)
@@ -259,24 +355,68 @@ def main() -> None:
     )
 
     shutil.rmtree(tmp, ignore_errors=True)
+    return timings, n_docs
 
+
+def main() -> None:
+    calibration = calibrate()
+
+    from alix_spark import get_spark
+
+    spark = get_spark(
+        app_name="alix-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings, n_docs = run_suite(spark, SF_DIR, int(CPUS))
+    docs_per_sec = timings.pop("_docs_per_sec")
     total = round(sum(timings.values()), 3)
     queries = dict(timings)
     queries["index_build_docs_per_sec"] = docs_per_sec
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_docs": n_docs,
-                "cpus": int(CPUS),
+    result = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": n_docs,
+        "cpus": int(CPUS),
+        "calibration_sec": calibration,
+    }
+
+    # sf1 leg (50k docs): the scale where engine deltas are readable —
+    # skipped if generation fails or SPARK_GRAFT_SF1=0, and when the main
+    # run already targets sf1.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and os.path.realpath(
+        SF_DIR
+    ) != os.path.realpath(SF1_DIR):
+        sf1 = ensure_sf1()
+        if sf1 is not None:
+            spark.catalog.clearCache()
+            t1, n1 = run_suite(spark, sf1, int(CPUS))
+            dps1 = t1.pop("_docs_per_sec")
+            q1 = dict(t1)
+            q1["index_build_docs_per_sec"] = dps1
+            result["sf1"] = {
+                "suite_sec": round(sum(t1.values()), 3),
+                "queries": q1,
+                "n_docs": n1,
             }
-        )
-    )
+
+    # interleaved same-session A/B vs the previous round's commit (r4/r5
+    # lesson: cross-round suite deltas are meaningless without a control
+    # run on the same host minutes apart). Spark stops first so the
+    # control leg gets the whole box, like ours did.
+    if os.environ.get("SPARK_GRAFT_AB", "1") != "0":
+        spark.stop()
+        ab = ab_prev_round(SF_DIR)
+        if ab is not None:
+            result["prev_round_ab"] = ab
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
