@@ -25,6 +25,64 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 
+# Fixed single-core kernel for the host-envelope probe: seeded matmuls
+# with BLAS threading pinned to 1, so the work is identical and strictly
+# one-core whether run solo or as 4 concurrent processes.
+ENVELOPE_KERNEL = r"""
+import os, time
+import numpy as np
+rng = np.random.default_rng(0)
+a = rng.standard_normal((900, 900))
+t0 = time.time()
+for _ in range(8):
+    a = a @ a
+    a /= np.abs(a).max() + 1.0
+print(round(time.time() - t0, 3))
+"""
+
+
+def host_envelope() -> dict:
+    """Price the HOST's own 1->4-process scaling at this moment: run the
+    fixed kernel solo, then as 4 concurrent independent processes (no
+    shared state, no Spark). On an idle box the 4-way wall equals the
+    solo wall (envelope 1.0); any shortfall is contention the host
+    imposes on EVERY 4-way workload — the ceiling no Spark job can beat
+    at that minute. Turns a depressed scaling sample from 'mystery' into
+    'host-attributed', the same instrument the round-3 2v8 analysis used.
+    """
+    env = dict(
+        os.environ,
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+    )
+
+    def solo() -> float:
+        out = subprocess.run(
+            [sys.executable, "-c", ENVELOPE_KERNEL],
+            capture_output=True, text=True, env=env, timeout=120,
+        ).stdout.strip()
+        return float(out)
+
+    t_solo = min(solo(), solo())  # best-of-2: drop cold-start noise
+    t0 = __import__("time").time()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", ENVELOPE_KERNEL],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,
+        )
+        for _ in range(4)
+    ]
+    for p in procs:
+        p.wait(timeout=240)
+    t_4way = __import__("time").time() - t0
+    return {
+        "solo_sec": round(t_solo, 3),
+        "four_way_sec": round(t_4way, 3),
+        "envelope": round(t_solo / t_4way, 3),
+    }
+
+
 WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
@@ -132,7 +190,36 @@ def main() -> None:
         help="docs-checkpoint strategy (see WORKER comments)",
     )
     ap.add_argument("--codec", default="snappy")
+    ap.add_argument(
+        "--min-envelope", type=float, default=0.0,
+        help="idle-box gate: poll the host 4-process envelope and only "
+        "start once two consecutive readings meet this (0 = start now). "
+        "Decided BEFORE the sample runs, so it is a host-condition "
+        "precheck, not outcome filtering.",
+    )
+    ap.add_argument("--idle-timeout", type=int, default=3600)
     args = ap.parse_args()
+
+    if args.min_envelope > 0:
+        import time as _time
+
+        deadline = _time.time() + args.idle_timeout
+        streak: list[float] = []
+        while True:
+            e = host_envelope()["envelope"]
+            streak.append(e)
+            print(json.dumps({"envelope_precheck": e}), flush=True)
+            if len(streak) >= 2 and min(streak[-2:]) >= args.min_envelope:
+                break
+            if _time.time() > deadline:
+                print(
+                    json.dumps(
+                        {"envelope_precheck_timeout": streak[-5:]}
+                    ),
+                    flush=True,
+                )
+                return  # do NOT burn a pool sample on a bad host
+            _time.sleep(120)
 
     shm = Path("/dev/shm")
     tmp = tempfile.mkdtemp(
@@ -153,6 +240,7 @@ def main() -> None:
     worker_path = Path(tmp) / "worker.py"
     worker_path.write_text(WORKER.format(repo=str(REPO)))
     results = {}
+    envelopes = [host_envelope()]  # host condition before the first leg
     # two runs per level, best-of-2: removes OS page-cache / JIT warmup
     # noise from the efficiency ratio (the first pass warms, the second
     # measures steady state — what a long-running cluster job sees)
@@ -178,6 +266,7 @@ def main() -> None:
             )
         results[cpus] = best
         print(json.dumps(best))
+        envelopes.append(host_envelope())  # condition after this leg
 
     lo, hi = results[args.low], results[args.high]
     ratio = args.high / args.low
@@ -203,6 +292,10 @@ def main() -> None:
             str(args.high): hi["queries_per_sec"],
         },
         "query_scaling_efficiency": round(query_eff, 3),
+        # host's own 1->4-process ceiling sampled before/between/after the
+        # legs; min() is the worst moment the measurement lived through
+        "host_envelope_4way": [e["envelope"] for e in envelopes],
+        "envelope_detail": envelopes,
     }
     print(json.dumps(summary))
 
@@ -227,6 +320,12 @@ def main() -> None:
             f"{hi['index_stage_sec']} | {index_eff:.3f} |\n"
             f"| WAND queries/sec | {lo['queries_per_sec']} | "
             f"{hi['queries_per_sec']} | {query_eff:.3f} |\n"
+            f"\nHost 4-process envelope (fixed 1-core kernel solo vs 4"
+            f" concurrent; 1.0 = idle host) sampled before/between/after"
+            f" the legs: "
+            f"{' / '.join(str(e['envelope']) for e in envelopes)} — the"
+            f" host-imposed ceiling on ANY 4-way workload at those"
+            f" moments.\n"
         )
     print(f"appended to {bench_md}")
 
