@@ -24,6 +24,7 @@ from __future__ import annotations
 from alix_spark.analysis import fr_dicts as D
 from alix_spark.analysis import fr_lexicon2 as X
 from alix_spark.analysis import fr_lexicon3 as Y
+from alix_spark.analysis import fr_lexicon4 as Z
 
 # --------------------------------------------------------------------- #
 # lemma inventories (curated common vocabulary — ~1,800 lemmas)
@@ -896,7 +897,15 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
         out.setdefault(graph, (tag, None, lemma))
 
     for n in (NOUNS + X.NOUNS_EXT + X.NOUNS_THEMATIC + X.NOUNS_DERIVED + X.NOUNS_HOMOGRAPH
-              + Y.NOUNS_BATCH + Y.NOUNS_BATCH_B + Y.NOUNS_BATCH_C):
+              + Y.NOUNS_BATCH + Y.NOUNS_BATCH_B + Y.NOUNS_BATCH_C
+              + Z.NOUNS_BOTANY + Z.NOUNS_ZOOLOGY + Z.NOUNS_MEDICINE
+              + Z.NOUNS_LAW + Z.NOUNS_MARITIME + Z.NOUNS_ARCHITECTURE
+              + Z.NOUNS_RELIGION + Z.NOUNS_GEOLOGY + Z.NOUNS_TEXTILES
+              + Z.NOUNS_MUSIC + Z.NOUNS_GASTRONOMY + Z.NOUNS_MILITARY
+              + Z.NOUNS_ABSTRACT + Z.NOUNS_TRADES + Z.NOUNS_SCIENCES
+              + Z.NOUNS_SCHOOL + Z.NOUNS_FARM + Z.NOUNS_SKY
+              + Z.NOUNS_CITY + Z.NOUNS_SOCIAL + Z.NOUNS_CHEMISTRY
+              + Z.NOUNS_OBJECTS + Z.NOUNS_RHETORIC + Z.NOUNS_TAIL):
         n = _strip_marker(n)
         put(n, D.SUB, n)
         put(pluralize(n), D.SUB, n)
@@ -918,7 +927,9 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
         put(pluralize(n), D.SUB, n)
 
     for a in (ADJECTIVES + X.ADJECTIVES_EXT + X.ADJECTIVES_THEMATIC + Y.ADJS_BATCH
-              + Y.ADJS_BATCH_B):
+              + Y.ADJS_BATCH_B + Z.ADJS_QUALITY + Z.ADJS_PHYSICAL
+              + Z.ADJS_TECHNICAL + Z.ADJS_GENTILE + Z.ADJS_ABLE
+              + Z.ADJS_IF_AL + Z.ADJS_COLOR_STATE):
         a = _strip_marker(a)
         fem = _IRREGULAR_FEM.get(a, feminize(a))
         put(a, D.ADJ, a)
@@ -947,14 +958,15 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
               + Y.VERBS_ER_CRAFT + Y.VERBS_ER_COOKING + Y.VERBS_ER_OUTDOORS
               + Y.VERBS_ER_BODY + Y.VERBS_ER_SOUNDS + Y.VERBS_ER_MOVEMENT
               + Y.VERBS_ER_CIVIC + Y.VERBS_ER_EVERYDAY + Y.VERBS_ER_SOCIETY
-              + Y.VERBS_ER_MODERN + Y.VERBS_ER_LAST + Y.VERBS_ER_FINAL2):
+              + Y.VERBS_ER_MODERN + Y.VERBS_ER_LAST + Y.VERBS_ER_FINAL2
+              + Z.VERBS_ER_LITERARY + Z.VERBS_ER_NATURE + Z.VERBS_ER_HOUSE):
         lemma = _strip_marker(v)
         if lemma in ("aller", "envoyer", "renvoyer"):  # true irregulars
             continue
         for f in conjugate_er(v):
             put(_strip_marker(f), D.VERB, lemma)
     for v in (VERBS_IR2 + X.VERBS_IR2_EXT + X.VERBS_IR2_THEMATIC
-              + X.VERBS_IR2_FINAL + Y.VERBS_IR2_BATCH):
+              + X.VERBS_IR2_FINAL + Y.VERBS_IR2_BATCH + Z.VERBS_IR2_BATCH2):
         lemma = _strip_marker(v)
         for f in conjugate_ir2(v):
             put(_strip_marker(f), D.VERB, lemma)

@@ -16,6 +16,7 @@ from __future__ import annotations
 from alix_spark.analysis import fr_dicts as D
 from alix_spark.analysis import fr_names2 as X
 from alix_spark.analysis import fr_names3 as Y
+from alix_spark.analysis import fr_names4 as W
 
 FORENAMES_M = """
 Adrien Alain Albert Alexandre Alfred Alphonse André Antoine Armand
@@ -148,13 +149,16 @@ def compose_communes() -> list[str]:
     are single tokens to the tokenizer, so each composition is one
     dictionary graph (the commune.csv shape, FrDics.java:134-155)."""
     out: list[str] = []
-    saints = [_m(s) for s in X.SAINTS + Y.SAINTS_EXT]
+    saints = [_m(s) for s in X.SAINTS + Y.SAINTS_EXT + W.SAINTS_EXT2]
     saintes = [_m(s) for s in X.SAINTES + Y.SAINTES_EXT]
-    rivers = [_m(r) for r in X.RIVERS + Y.RIVERS_EXT]
-    pays = [_m(p) for p in X.PAYS + Y.PAYS_EXT]
-    bases = [_m(b) for b in X.TOPO_BASES + Y.TOPO_BASES_EXT]
-    le_q = [_m(q) for q in X.LE_QUALIFIERS + Y.LE_QUALIFIERS_EXT]
-    les_q = [_m(q) for q in X.LES_QUALIFIERS + Y.LES_QUALIFIERS_EXT]
+    rivers = [_m(r) for r in X.RIVERS + Y.RIVERS_EXT + W.RIVERS_EXT2]
+    pays = [_m(p) for p in X.PAYS + Y.PAYS_EXT + W.PAYS_EXT2]
+    bases = [_m(b) for b in X.TOPO_BASES + Y.TOPO_BASES_EXT
+             + W.TOPO_BASES_EXT2]
+    le_q = [_m(q) for q in X.LE_QUALIFIERS + Y.LE_QUALIFIERS_EXT
+            + W.LE_QUALIFIERS_EXT2]
+    les_q = [_m(q) for q in X.LES_QUALIFIERS + Y.LES_QUALIFIERS_EXT
+             + W.LES_QUALIFIERS_EXT2]
     la_q = [_m(q) for q in Y.LA_QUALIFIERS]
     sous_q = [_m(q) for q in Y.SOUS_QUALIFIERS]
     aux_q = [_m(q) for q in Y.AUX_QUALIFIERS]
@@ -162,33 +166,37 @@ def compose_communes() -> list[str]:
     out.extend(f"Saint-{s}" for s in saints)
     out.extend(f"Sainte-{s}" for s in saintes)
     for i, s in enumerate(saints):
-        out.extend(f"Saint-{s}-sur-{r}" for r in _rotate(rivers, i, 3))
-        out.extend(f"Saint-{s}-de-{p}" for p in _rotate(pays, i, 2))
-        out.extend(f"Saint-{s}-en-{p}" for p in _rotate(pays, i + 1, 1))
+        out.extend(f"Saint-{s}-sur-{r}" for r in _rotate(rivers, i, 4))
+        out.extend(f"Saint-{s}-de-{p}" for p in _rotate(pays, i, 3))
+        out.extend(f"Saint-{s}-en-{p}" for p in _rotate(pays, i + 1, 2))
         out.extend(f"Saint-{s}-lès-{q}" for q in _rotate(les_q, i, 1))
     for i, s in enumerate(saintes):
-        out.extend(f"Sainte-{s}-sur-{r}" for r in _rotate(rivers, i, 1))
-        out.extend(f"Sainte-{s}-de-{p}" for p in _rotate(pays, i, 1))
+        out.extend(f"Sainte-{s}-sur-{r}" for r in _rotate(rivers, i, 2))
+        out.extend(f"Sainte-{s}-de-{p}" for p in _rotate(pays, i, 2))
     for i, b in enumerate(bases):
-        out.extend(f"{b}-sur-{r}" for r in _rotate(rivers, i, 6))
-        out.extend(f"{b}-en-{p}" for p in _rotate(pays, i, 3))
-        out.extend(f"{b}-de-{p}" for p in _rotate(pays, i + 1, 2))
+        out.extend(f"{b}-sur-{r}" for r in _rotate(rivers, i, 7))
+        out.extend(f"{b}-en-{p}" for p in _rotate(pays, i, 4))
+        out.extend(f"{b}-de-{p}" for p in _rotate(pays, i + 1, 3))
         out.extend(f"{b}-la-{q}" for q in _rotate(la_q, i, 2))
-        out.extend(f"{b}-le-{q}" for q in _rotate(le_q, i, 2))
-        out.extend(f"{b}-les-{q}" for q in _rotate(les_q, i, 1))
+        out.extend(f"{b}-le-{q}" for q in _rotate(le_q, i, 3))
+        out.extend(f"{b}-les-{q}" for q in _rotate(les_q, i, 2))
         out.extend(f"{b}-lès-{q}" for q in _rotate(les_q, i + 1, 1))
-        out.extend(f"{b}-sous-{q}" for q in _rotate(sous_q, i, 1))
-        out.extend(f"{b}-aux-{q}" for q in _rotate(aux_q, i, 1))
+        out.extend(f"{b}-sous-{q}" for q in _rotate(sous_q, i, 2))
+        out.extend(f"{b}-aux-{q}" for q in _rotate(aux_q, i, 2))
     return out
 
 
 def compose_forenames() -> tuple[list[str], list[str]]:
     """The productive hyphenated compound forenames (Jean-Pierre,
     Marie-Claire…): heads × tails, self-pairs skipped."""
-    heads_m = [_m(h) for h in X.COMPOUND_HEADS_M + Y.COMPOUND_HEADS_M2]
-    tails_m = [_m(t) for t in X.COMPOUND_TAILS_M + Y.COMPOUND_TAILS_M2]
-    heads_f = [_m(h) for h in X.COMPOUND_HEADS_F + Y.COMPOUND_HEADS_F2]
-    tails_f = [_m(t) for t in X.COMPOUND_TAILS_F + Y.COMPOUND_TAILS_F2]
+    heads_m = [_m(h) for h in X.COMPOUND_HEADS_M + Y.COMPOUND_HEADS_M2
+               + W.COMPOUND_HEADS_M3]
+    tails_m = [_m(t) for t in X.COMPOUND_TAILS_M + Y.COMPOUND_TAILS_M2
+               + W.COMPOUND_TAILS_M3]
+    heads_f = [_m(h) for h in X.COMPOUND_HEADS_F + Y.COMPOUND_HEADS_F2
+               + W.COMPOUND_HEADS_F3]
+    tails_f = [_m(t) for t in X.COMPOUND_TAILS_F + Y.COMPOUND_TAILS_F2
+               + W.COMPOUND_TAILS_F3]
     male = [f"{h}-{t}" for h in heads_m for t in set(tails_m) - {h}]
     female = [f"{h}-{t}" for h in heads_f for t in set(tails_f) - {h}]
     return sorted(male), sorted(female)
@@ -209,19 +217,24 @@ def build_names() -> dict[str, tuple[int, str | None]]:
     _put(out, AUTHORS, D.NAME_AUTHOR, deferred)
     _put(out, " ".join(X.AUTHORS_EXT), D.NAME_AUTHOR, deferred)
     _put(out, " ".join(Y.AUTHORS_EXT2), D.NAME_AUTHOR, deferred)
+    _put(out, " ".join(W.AUTHORS_EXT3), D.NAME_AUTHOR, deferred)
     _put(out, " ".join(Y.FIGURES), D.NAME_PERS, deferred)
+    _put(out, " ".join(W.FIGURES_EXT2), D.NAME_PERS, deferred)
     _put(out, CITIES, D.NAME_PLACE, deferred)
     _put(out, " ".join(X.COMMUNES_EXT), D.NAME_PLACE, deferred)
     _put(out, " ".join(compose_communes()), D.NAME_PLACE, deferred)
     _put(out, PLACES, D.NAME_PLACE, deferred)
     _put(out, " ".join(X.PLACES_EXT), D.NAME_PLACE, deferred)
     _put(out, " ".join(Y.PLACES_EXT2), D.NAME_PLACE, deferred)
+    _put(out, " ".join(W.PLACES_EXT3), D.NAME_PLACE, deferred)
     _put(out, FORENAMES_M, D.NAME_PERS_M, deferred)
     _put(out, X.FORENAMES_M_EXT, D.NAME_PERS_M, deferred)
     _put(out, " ".join(Y.FORENAMES_M_EXT2), D.NAME_PERS_M, deferred)
+    _put(out, " ".join(W.FORENAMES_M_EXT3), D.NAME_PERS_M, deferred)
     _put(out, FORENAMES_F, D.NAME_PERS_F, deferred)
     _put(out, X.FORENAMES_F_EXT, D.NAME_PERS_F, deferred)
     _put(out, " ".join(Y.FORENAMES_F_EXT2), D.NAME_PERS_F, deferred)
+    _put(out, " ".join(W.FORENAMES_F_EXT3), D.NAME_PERS_F, deferred)
     comp_m, comp_f = compose_forenames()
     _put(out, " ".join(comp_m), D.NAME_PERS_M, deferred)
     _put(out, " ".join(comp_f), D.NAME_PERS_F, deferred)
