@@ -106,10 +106,11 @@ def synthesize_media(
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an HxWxC (or HxW for grayscale) uint8
     array, pure numpy + stdlib: PPM/PGM (P2/P3/P5/P6), BI_RGB BMP
-    (8/24/32-bit), and non-interlaced 8-bit PNG (gray / gray+alpha /
-    RGB / RGBA — ``zlib`` inflate + the five scanline filters
-    vectorized). JPEG (and interlaced/palette/16-bit PNG) genuinely
-    require a codec library this container doesn't ship — those raise
+    (8/24/32-bit), and 8/16-bit PNG — gray / gray+alpha / RGB / RGBA /
+    8-bit palette, interlaced (Adam7) or not (``zlib`` inflate + the
+    five scanline filters vectorized; 16-bit reduced to the high
+    byte). JPEG (and sub-byte-depth PNG) genuinely require a codec
+    library this container doesn't ship — those raise
     NotImplementedError, the declared stub boundary."""
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return _decode_pnm(payload)
@@ -198,49 +199,23 @@ def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def _decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG (color types 0/2/4/6) with stdlib
-    ``zlib`` + numpy unfiltering: None/Up are whole-row vectorized, Sub
-    is a per-lane cumsum (mod-256 addition is linear, so int64 cumsum
-    & 255 is exact), Average/Paeth walk pixels with all samples of a
-    pixel vectorized."""
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    i, idat = 8, []
-    w = h = None
-    bit_depth = color_type = interlace = None
-    while i + 8 <= len(payload):
-        ln = int.from_bytes(payload[i : i + 4], "big")
-        typ = payload[i + 4 : i + 8]
-        data = payload[i + 8 : i + 8 + ln]
-        i += 12 + ln
-        if typ == b"IHDR":
-            w = int.from_bytes(data[0:4], "big")
-            h = int.from_bytes(data[4:8], "big")
-            bit_depth, color_type, interlace = data[8], data[9], data[12]
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    if bit_depth != 8:
-        raise NotImplementedError("only 8-bit PNG supported")
-    channels = _PNG_CHANNELS.get(color_type)
-    if channels is None:
-        raise NotImplementedError("palette PNG not supported")
-    import zlib
+# Adam7 pass geometry: (x_start, x_step, y_start, y_step), PNG spec §8.2
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
 
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    rows = np.frombuffer(
-        raw, dtype=np.uint8, count=h * (stride + 1)
-    ).reshape(h, stride + 1)
+
+def _png_unfilter(rows: np.ndarray, w: int, h: int, bpp: int) -> np.ndarray:
+    """Undo the five PNG scanline filters over a (h, 1+w*bpp) byte
+    block (filter byte + filtered samples per row): None/Up are
+    whole-row vectorized, Sub is a per-lane cumsum (mod-256 addition is
+    linear, so int64 cumsum & 255 is exact), Average/Paeth walk pixels
+    with all samples of a pixel vectorized. ``bpp`` is BYTES per pixel
+    (channels × bytes-per-sample). Returns (h, w*bpp) uint8."""
+    stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int64)
-    bpp = channels
     for y in range(h):
         ftype = int(rows[y, 0])
         cur = rows[y, 1:].astype(np.int64)
@@ -268,8 +243,85 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = rec
         prior = rec
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """8- and 16-bit PNG, color types 0/2/3/4/6 (gray, RGB, 8-bit
+    palette, gray+alpha, RGBA), interlaced (Adam7) or not, with stdlib
+    ``zlib`` + the vectorized unfilter in :func:`_png_unfilter`. Each
+    Adam7 pass is an independently filtered sub-image consumed
+    sequentially from the inflated stream and scattered back with
+    strided assignment. 16-bit samples are decoded exactly then reduced
+    to their high byte (the uint8 contract of :func:`decode_image`).
+    Sub-byte bit depths (1/2/4) remain the declared boundary."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, idat = 8, []
+    w = h = None
+    plte = None
+    bit_depth = color_type = interlace = None
+    while i + 8 <= len(payload):
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        i += 12 + ln
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, interlace = data[8], data[9], data[12]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
+        raise NotImplementedError(
+            "sub-byte (1/2/4-bit) PNG not supported"
+        )
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        channels = 1
+    else:
+        channels = _PNG_CHANNELS.get(color_type)
+        if channels is None:
+            raise ValueError(f"bad PNG color type {color_type}")
+    import zlib
+
+    raw = zlib.decompress(b"".join(idat))
+    bpp = channels * (bit_depth // 8)
+    if interlace == 0:
+        regions = [((0, 1, 0, 1), w, h)]
+    elif interlace == 1:
+        regions = [
+            (g, (w - g[0] + g[1] - 1) // g[1], (h - g[2] + g[3] - 1) // g[3])
+            for g in _ADAM7
+        ]
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for (x0, xs, y0, ys), pw, ph in regions:
+        if pw == 0 or ph == 0:
+            continue  # empty Adam7 pass: contributes no bytes at all
+        size = ph * (pw * bpp + 1)
+        rows = np.frombuffer(
+            raw, dtype=np.uint8, count=size, offset=pos
+        ).reshape(ph, pw * bpp + 1)
+        pos += size
+        out[y0::ys, x0::xs] = _png_unfilter(rows, pw, ph, bpp).reshape(
+            ph, pw, bpp
+        )
+    if bit_depth == 16:  # big-endian sample pairs -> high byte
+        out = out.reshape(h, w, channels, 2)[:, :, :, 0]
     img = out.reshape(h, w, channels)
-    return img[:, :, 0].copy() if channels == 1 else img
+    if color_type == 3:
+        return plte[img[:, :, 0]]
+    return img[:, :, 0].copy() if channels == 1 else img.copy()
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
@@ -283,19 +335,13 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """uint8 HxW / HxWx{2,3,4} -> non-interlaced 8-bit PNG. Row filters
-    cycle 0..4 (None/Sub/Up/Average/Paeth) so a roundtrip exercises
-    every unfilter branch of :func:`_decode_png`."""
-    import zlib
-
-    h, w = img.shape[:2]
-    channels = 1 if img.ndim == 2 else img.shape[2]
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    px = img.reshape(h, w * channels).astype(np.uint8)
-    bpp = channels
+def _png_filter_region(px: np.ndarray, bpp: int) -> bytearray:
+    """Filter one (h, w*bpp) uint8 region for the IDAT stream, cycling
+    filters 0..4 per row so a roundtrip exercises every unfilter
+    branch of :func:`_png_unfilter`."""
+    h = px.shape[0]
     zeros = np.zeros(bpp, dtype=np.int64)
-    prior = np.zeros(w * channels, dtype=np.int64)
+    prior = np.zeros(px.shape[1], dtype=np.int64)
     scan = bytearray()
     for y in range(h):
         ftype = y % 5
@@ -321,10 +367,37 @@ def encode_png(img: np.ndarray) -> bytes:
         scan.append(ftype)
         scan.extend(filt.astype(np.uint8).tobytes())
         prior = cur
+    return scan
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 HxW / HxWx{2,3,4} -> 8-bit PNG, optionally Adam7
+    interlaced (each pass an independently filtered sub-image, the
+    spec's stream layout — exercises the interlaced decode path)."""
+    import zlib
+
+    h, w = img.shape[:2]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    px3 = img.reshape(h, w, channels).astype(np.uint8)
+    scan = bytearray()
+    if interlace:
+        for x0, xs, y0, ys in _ADAM7:
+            sub = px3[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            scan.extend(
+                _png_filter_region(
+                    sub.reshape(sub.shape[0], sub.shape[1] * channels),
+                    channels,
+                )
+            )
+    else:
+        scan = _png_filter_region(px3.reshape(h, w * channels), channels)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([8, color_type, 0, 0, int(interlace)])
     )
     return (
         _PNG_SIG

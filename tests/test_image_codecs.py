@@ -103,12 +103,86 @@ def test_png_gradient_means_match_formula():
     assert np.array_equal(out, img)
 
 
+@pytest.mark.parametrize(
+    "shape", [(13, 17), (13, 17, 2), (13, 17, 3), (13, 17, 4), (1, 1, 3),
+              (7, 1), (1, 9, 4), (8, 8, 3), (9, 10)]
+)
+def test_png_adam7_roundtrip(shape):
+    # odd sizes exercise empty and ragged Adam7 passes; the encoder
+    # cycles filters 0..4 inside every pass
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(img, interlace=True)), img)
+
+
+def test_png_palette():
+    import zlib
+
+    from alix_spark.textops.multimodal import _PNG_SIG, _png_chunk
+
+    rng = np.random.default_rng(12)
+    h, w = 11, 6
+    idx = rng.integers(0, 5, (h, w), dtype=np.uint8)
+    plte = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    scan = bytearray()
+    for y in range(h):
+        scan.append(0)
+        scan.extend(idx[y].tobytes())
+    payload = (
+        _PNG_SIG
+        + _png_chunk(
+            b"IHDR",
+            w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0]),
+        )
+        + _png_chunk(b"PLTE", plte.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image(payload), plte[idx])
+
+
+def test_png_16bit_high_byte():
+    import zlib
+
+    from alix_spark.textops.multimodal import _PNG_SIG, _png_chunk
+
+    rng = np.random.default_rng(13)
+    h, w = 9, 7
+    vals = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    scan = bytearray()
+    be = vals.astype(">u2")
+    for y in range(h):
+        scan.append(0)
+        scan.extend(be[y].tobytes())
+    payload = (
+        _PNG_SIG
+        + _png_chunk(
+            b"IHDR",
+            w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 0, 0, 0, 0]),
+        )
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image(payload), (vals >> 8).astype(np.uint8))
+
+
 def test_compressed_formats_still_stub():
+    import zlib
+
+    from alix_spark.textops.multimodal import _PNG_SIG, _png_chunk
+
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0JFIF....")
-    # PNG variants outside the implemented envelope stay declared stubs
-    interlaced = bytearray(encode_png(_img(4, 4, seed=9)))
-    ihdr_off = 8 + 8  # sig + len/type
-    interlaced[ihdr_off + 12] = 1  # interlace flag inside IHDR data
+    # PNG variants outside the implemented envelope stay declared stubs:
+    # sub-byte bit depths (1/2/4)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(
+            b"IHDR",
+            (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([4, 0, 0, 0, 0]),
+        )
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 12))
+        + _png_chunk(b"IEND", b"")
+    )
     with pytest.raises(NotImplementedError):
-        decode_image(bytes(interlaced))
+        decode_image(payload)
