@@ -227,7 +227,7 @@ def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alix_spark.cooc.rails import build_rails
 
     c = _corpus(spark, sf_dir)
-    rails = build_rails(c.tokens, c.forms)
+    rails = build_rails(c.rail_tokens, c.forms)
     return (
         ngrams_mod.bigrams_rails(rails, c.forms)
         .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
@@ -398,7 +398,7 @@ def q_cooc_window_rails(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alix_spark.cooc.rails import build_rails, cooc_window_rails
 
     c = _corpus(spark, sf_dir)
-    token_table = c.tokens  # simple chain: no holes
+    token_table = c.rail_tokens  # simple chain: no holes
     rails = build_rails(token_table, c.forms)
     pivot_ids = [
         r["form_id"]
@@ -420,7 +420,7 @@ def q_word_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alix_spark.cooc.rails import build_rails
 
     c = _corpus(spark, sf_dir)
-    rails = build_rails(c.tokens, c.forms)
+    rails = build_rails(c.rail_tokens, c.forms)
     edges = word_network_rails(rails, c.forms, width=3)
     return edges.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(50)
 
@@ -730,7 +730,7 @@ def q_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alix_spark.cooc.rails import build_rails, expressions, expressions_display
 
     c = _corpus(spark, sf_dir)
-    rails = build_rails(c.tokens, c.forms)
+    rails = build_rails(c.rail_tokens, c.forms)
     stops = set()  # synthetic corpus has no stopword list
     exprs = expressions(rails, stops, min_len=2, max_len=3)
     return (

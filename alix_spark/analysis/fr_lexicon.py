@@ -905,16 +905,25 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
               + Z.NOUNS_ABSTRACT + Z.NOUNS_TRADES + Z.NOUNS_SCIENCES
               + Z.NOUNS_SCHOOL + Z.NOUNS_FARM + Z.NOUNS_SKY
               + Z.NOUNS_CITY + Z.NOUNS_SOCIAL + Z.NOUNS_CHEMISTRY
-              + Z.NOUNS_OBJECTS + Z.NOUNS_RHETORIC + Z.NOUNS_TAIL):
+              + Z.NOUNS_OBJECTS + Z.NOUNS_RHETORIC + Z.NOUNS_TAIL
+              + Z.NOUNS_TAIL2):
         n = _strip_marker(n)
         put(n, D.SUB, n)
         put(pluralize(n), D.SUB, n)
 
     # near-exceptionless nominalizations of the derivational verb
     # families: -iser → -isation, -ifier → -ification (réaliser →
-    # réalisation, amplifier → amplification)
+    # réalisation, amplifier → amplification). "Near": the handful of
+    # -iser verbs whose noun is suppletive (agonie, exorcisme) or
+    # nonexistent are excluded rather than fabricated.
+    non_deriving = {
+        "agoniser", "braiser", "exorciser", "toiser", "prophétiser",
+        "tyranniser",
+    }
     for v in X.VERBS_ER_ISER.split() + [
-        w for w in Y.VERBS_ER_MODERN if _strip_marker(w).endswith(("iser", "ifier"))
+        w for w in Y.VERBS_ER_MODERN
+        if _strip_marker(w).endswith(("iser", "ifier"))
+        and _strip_marker(w) not in non_deriving
     ]:
         v = _strip_marker(v)
         if v.endswith("iser"):

@@ -181,7 +181,7 @@ subventionner0 indemniser défrayer rembourser0 rétribuer
 appointer0 salarier mensualiser titulariser0 pérenniser
 contractualiser démissionner licencier débaucher embaucher
 recruter0 coopter parrainer0 pistonner rétrograder0
-muter0 détacher1 déléguer0 mandater0 missionner accréditer
+muter0 détacher0 déléguer0 mandater0 missionner accréditer
 habiliter assermenter0 déférer3 plaider0
 débouter casser1 récuser interjeter2
 """.split()
@@ -200,7 +200,7 @@ gamberger échafauder0 supputer conjecturer présumer0 subodorer
 flairer0 humer deviner0 pronostiquer parier0
 miser0 ponter0 gager0 risquer0 hasarder aventurer0 tenter0
 essayer0 expérimenter0 tâtonner0 bidonner0 rigoler0 marrer0
-bidonner1 poiler0 gondoler1 esclaffer1 pouffer0
+bidonner1 poiler0 gondoler1 esclaffer0 pouffer0
 plaisanter badiner batifoler folâtrer gambiller guincher
 festoyer banqueter2 ripailler bambocher
 trinquer0 picoler siffler1 pinter biberonner éponger0 cuver0
@@ -220,7 +220,7 @@ palabrer parlementer négocier0 arbitrer0 concilier réconcilier
 rabibocher raccommoder0 fâcher0 brouiller0 bouder0 snober
 ostraciser0 exiler0 rapatrier expatrier
 dépayser acclimater0 accoutumer habituer0 déshabituer désaccoutumer
-familiariser0 apprivoiser dresser0 dompter débourrer1 mater0
+familiariser0 apprivoiser dresser0 dompter débourrer0 mater0
 juguler réfréner3 refréner3 brider1 museler2 bâillonner0
 garrotter ligoter menotter entraver0 écrouer0 cloîtrer claustrer
 confiner0 calfeutrer0 barricader verrouiller cadenasser
@@ -229,7 +229,7 @@ assiéger3 encercler cerner0 traquer pister débusquer
 dénicher0 déloger0 évincer supplanter détrôner usurper0
 spolier déposséder3 exproprier0 déshériter0 frustrer0 léser3
 désavantager handicaper pénaliser0 sanctionner0 verbaliser0
-amender1 surveiller0 épier espionner0
+amender0 surveiller0 épier espionner0
 pister0 filer1 moucharder cafarder cafter
 dénoncer0 balancer0 donner0 renier0 abjurer
 apostasier parjurer0 sacrer0 consacrer0 introniser0 introniser1
@@ -547,7 +547,7 @@ végétaliser recycler surcycler0 composter
 métamorphoser cristalliser0 sublimer0 distiller0 rectifier0
 amalgamer coaguler floculer émulsionner homogénéiser centrifuger
 décanter0 lixivier0 calciner torréfier griller1 braiser0 étuver
-pasteuriser1 ionifier0 phosphater chlorer
+pasteuriser0 ioder phosphater chlorer
 fluorer soufrer oxyder désoxyder hydrater
 déshydrater réhydrater carbonater décarbonater sulfater0 vitrifier
 dévitrifier émailler0 opacifier fluidiser0 gazéifier

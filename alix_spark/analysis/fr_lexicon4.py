@@ -898,3 +898,15 @@ porte-plume0 pèse-lettre0 ramasse-miettes0 rochet0 râtelier sceau
 scriban sertissage sébile tabatière toilier tréfileur vide-poches0
 étui
 """.split()
+
+# tail tranche 2: wild flora, waterbirds, petrology — replaces the
+# volume lost when the fabricated derivations were culled
+NOUNS_TAIL2 = """
+alios alisma anatexite ansérine aplite bourdaine calament cargneule
+cincle cinérite courvite diorite dolérite eupatoire fuligule gabbro
+germandrée grauwacke guifette harle kimberlite lamier lherzolite
+linaire lysimaque matricaire migmatite monzonite ophite orcanette
+parisette pegmatite phonolite potamot pulicaire péridotite raiponce
+rhyolite rousserolle sarcelle syénite tadorne tormentille trachyte
+tussilage venturon verge0 éclogite égopode épiaire
+""".split()

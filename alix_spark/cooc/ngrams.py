@@ -80,7 +80,11 @@ def _pair_counts_rails(rails: DataFrame, width: int) -> DataFrame:
 
 def bigrams_rails(rails: DataFrame, forms: DataFrame) -> DataFrame:
     """C5 served map-side from rails → (w1, w2, n); row-identical to
-    :func:`bigrams` on the token table the rails were built from."""
+    :func:`bigrams` on the hole-free view of the token table the rails
+    were built from (holes break adjacency in both paths: here via the
+    formId-0 exclusion, there via the position gap — which requires the
+    rails input to carry its holes as rows, see
+    :func:`alix_spark.cooc.rails.build_rails`)."""
     pairs = _pair_counts_rails(rails, width=2)
     f1 = forms.select(F.col("form_id").alias("id1"), F.col("term").alias("w1"))
     f2 = forms.select(F.col("form_id").alias("id2"), F.col("term").alias("w2"))

@@ -29,6 +29,12 @@ def build_rails(token_table: DataFrame, forms: DataFrame) -> DataFrame:
 
     Holes (term == "") become formId 0 (``FieldText.java:191``). All
     JVM-side: sort-collect per doc.
+
+    INPUT CONTRACT: pass the full positional stream — every emitted
+    position must be a row (``Corpus.rail_tokens``: the hole-bearing
+    french token_table, or the simple chain's dense tokens). A
+    hole-FILTERED french table has position gaps that a rail would
+    silently read as adjacency, corrupting ngram and window semantics.
     """
     t = token_table.join(
         forms.select("term", "form_id"), "term", "left"

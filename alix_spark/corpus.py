@@ -69,6 +69,20 @@ class Corpus:
             return fr_tokens_for_index(self.token_table)
         return simple.tokenize(self.docs, self.id_col, self.text_col)
 
+    @cached_property
+    def rail_tokens(self) -> DataFrame:
+        """(doc_id, pos, term) WITH punctuation holes (term "") — the
+        ``build_rails`` input contract. Every emitted position occupies
+        a rail slot, so windows and ngram adjacency never collapse
+        across a hole (``FieldText.java:191`` keeps the empty
+        pseudo-form as formId 0 for exactly this reason). The simple
+        chain emits no holes, so there this is just :attr:`tokens`;
+        hole-FILTERED french tokens must never feed rails — the
+        position gaps would be read as adjacency."""
+        if self.analyzer == "french":
+            return self.token_table.select("doc_id", "pos", "term")
+        return self.tokens
+
     def analyze_query_terms(
         self, raw_terms: list[str], as_sequence: bool = False
     ) -> list[str]:
@@ -167,23 +181,14 @@ class Corpus:
                 parsed.should, as_sequence=True
             )
         if parsed.wildcards:
-            # expand prefixes against the vocabulary (reference:
-            # WildcardQuery, Alix.java:731-734). All prefixes are OR'ed
-            # into ONE pruned scan of the forms table — one Spark job
-            # for any number of wildcards (same shape as
-            # index/reader.py::expand_wildcards).
-            cond = F.col("term").startswith(parsed.wildcards[0])
-            for prefix in parsed.wildcards[1:]:
-                cond = cond | F.col("term").startswith(prefix)
-            matched = [
-                r["term"]
-                for r in self.forms.filter(cond).select("term").collect()
-            ]
-            # preserve the per-prefix expansion order of the old loop
-            for prefix in parsed.wildcards:
-                parsed.should.extend(
-                    t for t in matched if t.startswith(prefix)
-                )
+            from alix_spark.index.reader import expand_prefixes
+
+            # one pruned scan of the forms table for any number of
+            # wildcards; unsorted preserves this path's historical
+            # per-prefix expansion order
+            parsed.should.extend(
+                expand_prefixes(self.forms, parsed.wildcards)
+            )
             parsed.wildcards = []
         return parsed
 

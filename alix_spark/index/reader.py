@@ -31,6 +31,32 @@ POSTINGS_SCHEMA = StructType(
 )
 
 
+def expand_prefixes(
+    forms: DataFrame, prefixes: list[str], sort: bool = False
+) -> list[str]:
+    """Expand wildcard prefixes against a vocabulary table in ONE
+    pruned scan (all prefixes OR'ed into a single filter, one Spark
+    job for any number of wildcards — WildcardQuery,
+    ``Alix.java:731-734``). Output preserves the per-prefix grouping
+    contract: each prefix's matches (sorted when ``sort``), in input
+    order. Shared by :meth:`IndexReader.expand_wildcards` and
+    ``Corpus.parse`` so the expansion semantics live in one place."""
+    if not prefixes:
+        return []
+    cond = F.col("term").startswith(prefixes[0])
+    for prefix in prefixes[1:]:
+        cond = cond | F.col("term").startswith(prefix)
+    matched = [
+        r["term"] for r in forms.filter(cond).select("term").collect()
+    ]
+    if sort:
+        matched = sorted(matched)
+    out: list[str] = []
+    for prefix in prefixes:
+        out.extend(t for t in matched if t.startswith(prefix))
+    return out
+
+
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         meta_rows = spark.read.json(f"{index_dir}/_meta").collect()
@@ -205,22 +231,7 @@ class IndexReader:
         """Prefix expansion against the persisted vocabulary
         (WildcardQuery, ``Alix.java:731-734``); a tiny pruned scan of
         the forms table."""
-        if not prefixes:
-            return []
-        cond = F.col("term").startswith(prefixes[0])
-        for prefix in prefixes[1:]:
-            cond = cond | F.col("term").startswith(prefix)
-        matched = sorted(
-            r["term"]
-            for r in self.forms.filter(cond).select("term").collect()
-        )
-        # Preserve the per-prefix output contract (each prefix's
-        # matches, sorted, in input order) while paying ONE Spark job
-        # for any number of wildcards.
-        out: list[str] = []
-        for prefix in prefixes:
-            out.extend(t for t in matched if t.startswith(prefix))
-        return out
+        return expand_prefixes(self.forms, prefixes, sort=True)
 
     def phrase(self, terms: list[str]) -> DataFrame:
         """Exact-phrase matching → (doc_id, freq) off the positional

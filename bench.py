@@ -64,19 +64,31 @@ def calibrate() -> float:
 
 def ensure_sf1() -> str | None:
     """Synthesize the deterministic 50k-doc corpus on first use (seed 42,
-    distributions measured from the read-only sf0.1 tables)."""
-    if os.path.isdir(SF1_DIR) and os.path.exists(f"{SF1_DIR}/documents.parquet"):
+    distributions measured from the read-only sf0.1 tables). Generation
+    is ATOMIC: gen_sf writes into a scratch dir that is renamed into
+    place only when complete, so a killed run can never leave a
+    half-corpus that bricks every later bench (documents.parquet present
+    but embeddings.parquet missing)."""
+    # completeness gate = the LAST table gen_sf writes, not the first
+    if os.path.isdir(SF1_DIR) and os.path.exists(
+        f"{SF1_DIR}/embeddings.parquet"
+    ):
         return SF1_DIR
     try:
+        import shutil
         import subprocess
 
         here = os.path.dirname(os.path.abspath(__file__))
+        tmp = SF1_DIR + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
         subprocess.run(
-            [sys.executable, os.path.join(here, "tools", "gen_sf.py"), SF1_DIR],
+            [sys.executable, os.path.join(here, "tools", "gen_sf.py"), tmp],
             check=True,
             capture_output=True,
             timeout=600,
         )
+        shutil.rmtree(SF1_DIR, ignore_errors=True)  # stale partial, if any
+        os.rename(tmp, SF1_DIR)
         return SF1_DIR
     except Exception:
         return None
@@ -97,7 +109,21 @@ def ab_prev_round(sf_dir: str) -> dict | None:
             ["git", "log", "--grep", "^round [0-9]*:", "-1", "--format=%H"],
             cwd=here, capture_output=True, text=True, timeout=30, check=True,
         ).stdout.strip()
-        if not commit:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=here, capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+        if commit == head:
+            # HEAD IS the round commit (e.g. re-recording right after the
+            # driver's round-close): comparing HEAD to itself is not a
+            # control — use the PREVIOUS round marker instead
+            commit = subprocess.run(
+                ["git", "log", "--grep", "^round [0-9]*:", "-1",
+                 "--format=%H", "HEAD~1"],
+                cwd=here, capture_output=True, text=True, timeout=30,
+                check=True,
+            ).stdout.strip()
+        if not commit or commit == head:
             return None
         wt = f"/tmp/alix_ab_{commit[:12]}"
         if not os.path.isdir(wt):
@@ -325,7 +351,7 @@ def run_suite(spark, sf_dir: str, cpus: int) -> tuple[dict, int]:
     def bigrams_rails_bench():
         from alix_spark.cooc.rails import build_rails
 
-        rails = build_rails(tokens, cq.forms)
+        rails = build_rails(cq.rail_tokens, cq.forms)
         return (
             ngrams_mod.bigrams_rails(rails, cq.forms)
             .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))

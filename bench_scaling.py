@@ -57,30 +57,44 @@ def host_envelope() -> dict:
         MKL_NUM_THREADS="1",
     )
 
-    def solo() -> float:
-        out = subprocess.run(
-            [sys.executable, "-c", ENVELOPE_KERNEL],
-            capture_output=True, text=True, env=env, timeout=120,
-        ).stdout.strip()
-        return float(out)
+    # the probe annotates a measurement — it must NEVER abort one. A
+    # degraded host (the exact case the envelope exists to expose) is
+    # the most likely place for a child to time out or die, so every
+    # failure collapses to a sentinel instead of an exception.
+    try:
+        def solo() -> float:
+            out = subprocess.run(
+                [sys.executable, "-c", ENVELOPE_KERNEL],
+                capture_output=True, text=True, env=env, timeout=120,
+            ).stdout.strip()
+            return float(out)
 
-    t_solo = min(solo(), solo())  # best-of-2: drop cold-start noise
-    t0 = __import__("time").time()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", ENVELOPE_KERNEL],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,
-        )
-        for _ in range(4)
-    ]
-    for p in procs:
-        p.wait(timeout=240)
-    t_4way = __import__("time").time() - t0
-    return {
-        "solo_sec": round(t_solo, 3),
-        "four_way_sec": round(t_4way, 3),
-        "envelope": round(t_solo / t_4way, 3),
-    }
+        t_solo = min(solo(), solo())  # best-of-2: drop cold-start noise
+        t0 = __import__("time").time()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", ENVELOPE_KERNEL],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                env=env,
+            )
+            for _ in range(4)
+        ]
+        try:
+            for p in procs:
+                p.wait(timeout=240)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        t_4way = __import__("time").time() - t0
+        return {
+            "solo_sec": round(t_solo, 3),
+            "four_way_sec": round(t_4way, 3),
+            "envelope": round(t_solo / t_4way, 3),
+        }
+    except Exception as e:
+        return {"solo_sec": None, "four_way_sec": None, "envelope": None,
+                "error": str(e)[:120]}
 
 
 WORKER = r"""
@@ -206,7 +220,7 @@ def main() -> None:
         deadline = _time.time() + args.idle_timeout
         streak: list[float] = []
         while True:
-            e = host_envelope()["envelope"]
+            e = host_envelope()["envelope"] or 0.0  # probe error = busy
             streak.append(e)
             print(json.dumps({"envelope_precheck": e}), flush=True)
             if len(streak) >= 2 and min(streak[-2:]) >= args.min_envelope:

@@ -1,12 +1,14 @@
 """Pure-numpy PPM/PGM/BMP/PNG decode (textops/multimodal.py).
 
 PPM/PGM/BMP need no codec library; PNG (r6) needs only stdlib zlib +
-numpy unfiltering, so `decode_image` is a real decoder for all four.
-Only JPEG (and interlaced/palette/16-bit PNG) remain behind the declared
+numpy unfiltering, so `decode_image` is a real decoder for all four —
+including Adam7-interlaced, 8-bit palette, and 16-bit PNG. Only JPEG
+and sub-byte (1/2/4-bit) PNG remain behind the declared
 NotImplementedError stub. Roundtrips cover the classic trip-up cases:
 BMP row padding (width not a multiple of 4), bottom-up vs top-down row
-order, BGR channel order, PNM header comments, ascii variants, and all
-five PNG scanline filters (the encoder cycles them per row).
+order, BGR channel order, PNM header comments, ascii variants, all
+five PNG scanline filters (the encoder cycles them per row), and
+ragged/empty Adam7 passes.
 """
 
 from __future__ import annotations
