@@ -777,16 +777,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal — REAL image decode: deterministic 8×8 RGB gradient
     images (pixel = (doc_id·7 + r·3 + c·5 + ch·11) mod 256) are encoded
-    to binary PPM (doc_id % 3 == 0), 24-bit BI_RGB BMP (% 3 == 1), or
-    non-interlaced 8-bit PNG with the filter types cycling per row
-    (% 3 == 2, r6), then decoded by the pure-numpy/zlib parsers in
-    textops/multimodal.py and reduced to dimension + per-channel means.
-    The oracle reconstructs the same pixels arithmetically in SQL, so a
-    green row proves all three encode→decode roundtrips byte-exactly
-    (a wrong stride, row order, channel order, or PNG unfilter branch
-    shifts the means)."""
+    to binary PPM (doc_id % 4 == 0), 24-bit BI_RGB BMP (% 4 == 1), or
+    Adam7-INTERLACED 8-bit PNG with the filter types cycling per pass
+    row (% 4 == 2, r6); doc_id % 4 == 3 is a FLAT grayscale baseline
+    JPEG (every pixel = (doc_id·7) mod 256 — DC-only, so the lossy
+    codec is exact and the full Huffman/DCT decode path is under the
+    arithmetic oracle). All four decode through the pure-numpy/zlib
+    parsers in textops/multimodal.py and reduce to dimension +
+    per-channel means. The oracle reconstructs the same pixels
+    arithmetically in SQL, so a green row proves all four
+    encode→decode roundtrips byte-exactly (a wrong stride, row order,
+    channel order, PNG pass geometry, or Huffman/DCT bug shifts the
+    means)."""
     import pandas as pd
 
+    from alix_spark.textops.jpeg import encode_jpeg
     from alix_spark.textops.multimodal import (
         decode_image_stats,
         encode_bmp,
@@ -803,14 +808,23 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                r = np.arange(8).reshape(8, 1, 1)
-                c = np.arange(8).reshape(1, 8, 1)
-                ch = np.arange(3).reshape(1, 1, 3)
-                img = ((doc_id * 7 + r * 3 + c * 5 + ch * 11) % 256).astype(
-                    "uint8"
-                )
-                enc = (encode_ppm, encode_bmp, encode_png)[doc_id % 3]
-                payload = enc(img)
+                sel = doc_id % 4
+                if sel == 3:
+                    img = np.full((8, 8), (doc_id * 7) % 256, dtype="uint8")
+                    payload = encode_jpeg(img)
+                else:
+                    r = np.arange(8).reshape(8, 1, 1)
+                    c = np.arange(8).reshape(1, 8, 1)
+                    ch = np.arange(3).reshape(1, 1, 3)
+                    img = (
+                        (doc_id * 7 + r * 3 + c * 5 + ch * 11) % 256
+                    ).astype("uint8")
+                    enc = (
+                        encode_ppm,
+                        encode_bmp,
+                        lambda im: encode_png(im, interlace=True),
+                    )[sel]
+                    payload = enc(img)
                 rows.append((doc_id, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -1910,25 +1924,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": """
             -- independent pixel reconstruction: the Spark side ENCODES
-            -- each 8x8 gradient image to PPM (doc_id%3=0), BMP (%3=1)
-            -- or PNG with cycling row filters (%3=2) and DECODES it
-            -- with the pure-numpy/zlib parsers; this oracle recomputes
-            -- the per-channel means from the generating formula alone,
-            -- so any stride/row-order/channel-order/unfilter bug in a
-            -- codec roundtrip breaks the match
+            -- each 8x8 gradient image to PPM (doc_id%4=0), BMP (%4=1)
+            -- or Adam7-interlaced PNG with cycling filters (%4=2), and
+            -- a FLAT grayscale baseline JPEG (%4=3: every pixel =
+            -- doc_id*7 mod 256 — DC-only, so the lossy codec is
+            -- exact), then DECODES with the pure-numpy/zlib parsers;
+            -- this oracle recomputes the per-channel means from the
+            -- generating formula alone, so any stride/row-order/
+            -- channel-order/pass-geometry/Huffman/DCT bug breaks the
+            -- match
             WITH px AS (
               SELECT d.doc_id, ch.ch,
-                     AVG(CAST((d.doc_id * 7 + r.r * 3 + c.c * 5
-                               + ch.ch * 11) % 256 AS DOUBLE)) AS m
+                     AVG(CASE WHEN d.doc_id % 4 = 3
+                              THEN CAST((d.doc_id * 7) % 256 AS DOUBLE)
+                              ELSE CAST((d.doc_id * 7 + r.r * 3 + c.c * 5
+                                         + ch.ch * 11) % 256 AS DOUBLE)
+                         END) AS m
               FROM documents d
               CROSS JOIN (SELECT unnest(range(8)) AS r) r
               CROSS JOIN (SELECT unnest(range(8)) AS c) c
               CROSS JOIN (SELECT unnest(range(3)) AS ch) ch
               GROUP BY d.doc_id, ch.ch)
             SELECT doc_id,
-                   CASE doc_id % 3 WHEN 0 THEN 'ppm'
+                   CASE doc_id % 4 WHEN 0 THEN 'ppm'
                                    WHEN 1 THEN 'bmp'
-                                   ELSE 'png' END AS fmt,
+                                   WHEN 2 THEN 'png'
+                                   ELSE 'jpg' END AS fmt,
                    CAST(8 AS INTEGER) AS height,
                    CAST(8 AS INTEGER) AS width,
                    ROUND(MAX(CASE WHEN ch = 0 THEN m END), 4) AS mean_r,

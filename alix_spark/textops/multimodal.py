@@ -106,21 +106,26 @@ def synthesize_media(
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an HxWxC (or HxW for grayscale) uint8
     array, pure numpy + stdlib: PPM/PGM (P2/P3/P5/P6), BI_RGB BMP
-    (8/24/32-bit), and 8/16-bit PNG — gray / gray+alpha / RGB / RGBA /
+    (8/24/32-bit), 8/16-bit PNG — gray / gray+alpha / RGB / RGBA /
     8-bit palette, interlaced (Adam7) or not (``zlib`` inflate + the
     five scanline filters vectorized; 16-bit reduced to the high
-    byte). JPEG (and sub-byte-depth PNG) genuinely require a codec
-    library this container doesn't ship — those raise
-    NotImplementedError, the declared stub boundary."""
+    byte) — and baseline JPEG (SOF0/SOF1: Huffman, restart markers,
+    4:4:4/4:2:2/4:2:0, matrix-multiply IDCT — :mod:`.jpeg`). The
+    remaining declared NotImplementedError boundary: progressive/
+    arithmetic/12-bit JPEG and sub-byte-depth PNG."""
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from alix_spark.textops.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG decode requires PIL/opencv — not available in this "
-        "container; PPM/PGM/BMP/PNG decode natively"
+        "unrecognized image container; PPM/PGM/BMP/PNG/baseline-JPEG "
+        "decode natively"
     )
 
 
@@ -466,6 +471,8 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
                     fmt = "ppm"
                 elif payload[:8] == _PNG_SIG:
                     fmt = "png"
+                elif payload[:2] == b"\xff\xd8":
+                    fmt = "jpg"
                 else:
                     fmt = "bmp"
                 means = img.reshape(img.shape[0], img.shape[1], -1).mean(

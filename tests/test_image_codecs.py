@@ -173,8 +173,10 @@ def test_compressed_formats_still_stub():
 
     from alix_spark.textops.multimodal import _PNG_SIG, _png_chunk
 
+    # unknown containers stay declared stubs (baseline JPEG now decodes
+    # natively — see test_jpeg_codec.py; progressive JPEG raises there)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF....")
+        decode_image(b"\x00\x01not-an-image")
     # PNG variants outside the implemented envelope stay declared stubs:
     # sub-byte bit depths (1/2/4)
     payload = (

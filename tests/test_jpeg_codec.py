@@ -1,0 +1,112 @@
+"""Baseline JPEG codec (textops/jpeg.py) — decode driven through the
+REAL bitstream produced by the module's own encoder (Huffman with the
+Annex-K tables, DC prediction, byte stuffing, restart markers, MCU
+interleaving). With all-ones quantization the only loss is DCT/IDCT
+rounding, so gray roundtrips are exact and RGB is within a few counts
+(YCbCr rounding) — tight enough for hard bounds, not just PSNR.
+
+Boundary: progressive (SOF2), arithmetic coding, and 12-bit remain
+declared NotImplementedError; `decode_image` dispatches on the SOI
+marker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from alix_spark.textops.jpeg import decode_jpeg, encode_jpeg
+from alix_spark.textops.multimodal import decode_image
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 16), (13, 21), (1, 1), (7, 40)])
+def test_gray_roundtrip_exact(shape):
+    # gray + qtable=1: only DCT/IDCT float rounding — exact after round
+    img = (_rng(1).integers(0, 256, shape)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_flat_color_dc_only_exact():
+    img = np.full((24, 24), 117, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+
+
+@pytest.mark.parametrize("shape", [(24, 17, 3), (8, 8, 3), (9, 31, 3)])
+def test_rgb_444_roundtrip_tight(shape):
+    img = _rng(2).integers(0, 256, shape).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    # YCbCr forward+inverse rounding: a few counts, never more
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_restart_markers_reset_dc_prediction():
+    img = _rng(3).integers(0, 256, (40, 40)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, restart_interval=3))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_420_subsampling_smooth_image():
+    # chroma is 2x2 box-averaged: exact only where chroma is locally
+    # constant — a smooth gradient keeps the error tiny
+    x = np.linspace(0, 255, 64)
+    img = np.stack(
+        [np.tile(x, (64, 1)), np.tile(x[::-1], (64, 1)),
+         np.full((64, 64), 100.0)],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_420_with_restarts_odd_dims():
+    img = _rng(4).integers(0, 256, (33, 29, 3)).astype(np.uint8)
+    out = decode_jpeg(
+        encode_jpeg(img, subsampling="420", restart_interval=2)
+    )
+    assert out.shape == img.shape
+    # luma survives subsampling; chroma noise is averaged by design
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    assert (
+        np.abs(luma(out.astype(float)) - luma(img.astype(float))).max() < 32
+    )
+
+
+def test_real_quantization_table():
+    q = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61] * 8, dtype=np.int64
+    )[:64]
+    img = _rng(5).integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, qtable=q))
+    assert out.shape == img.shape
+    # lossy, but the decode must track the quantized signal, not noise
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 40
+
+
+def test_decode_image_dispatches_on_soi():
+    img = _rng(6).integers(0, 256, (16, 16)).astype(np.uint8)
+    out = decode_image(encode_jpeg(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_progressive_still_stub():
+    img = _rng(7).integers(0, 256, (8, 8)).astype(np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+
+def test_truncated_raises():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xdb")
