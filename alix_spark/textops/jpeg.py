@@ -107,15 +107,23 @@ class _HuffTable:
                 self.maxcode[ln] = code + n - 1
             code = (code + n) << 1
             k += n
-        # encoder view: symbol -> (code, length)
-        self.enc: dict[int, tuple[int, int]] = {}
-        k = 0
-        for ln in range(1, 17):
-            c = int(self.first_code[ln])
-            for _ in range(counts[ln - 1]):
-                self.enc[int(self.values[k])] = (c, ln)
-                c += 1
-                k += 1
+        self._counts = counts
+        self._enc: dict[int, tuple[int, int]] | None = None
+
+    @property
+    def enc(self) -> dict[int, tuple[int, int]]:
+        """Encoder view (symbol -> (code, length)), built lazily so
+        decode-only tables parsed from DHT segments never pay for it."""
+        if self._enc is None:
+            self._enc = {}
+            k = 0
+            for ln in range(1, 17):
+                c = int(self.first_code[ln])
+                for _ in range(self._counts[ln - 1]):
+                    self._enc[int(self.values[k])] = (c, ln)
+                    c += 1
+                    k += 1
+        return self._enc
 
 
 class _BitReader:
@@ -168,17 +176,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     frame = None
     restart_interval = 0
-    while i < len(payload):
+    while i + 1 < len(payload):
         if payload[i] != 0xFF:
             i += 1
             continue
         marker = payload[i + 1]
+        if marker == 0xFF:  # spec-legal fill byte (T.81 B.1.1.2)
+            i += 1
+            continue
         i += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
         ln = int.from_bytes(payload[i : i + 2], "big")
+        if ln < 2 or i + ln > len(payload):
+            raise ValueError("JPEG truncated inside a marker segment")
         seg = payload[i + 2 : i + ln]
         if marker == 0xC4:  # DHT
             j = 0
@@ -213,6 +226,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (CMYK/YCCK) not supported"
+                )
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -229,6 +246,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if frame is not None and ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG not supported"
+                )
             scan_sel = {}
             for c in range(ns):
                 cs, td_ta = seg[1 + 2 * c : 3 + 2 * c]
@@ -246,9 +267,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     break
                 j += 1
             chunks.append(payload[start:j])
-            img = _decode_scan(
-                frame, qt, huff, scan_sel, chunks, restart_interval
-            )
+            try:
+                img = _decode_scan(
+                    frame, qt, huff, scan_sel, chunks, restart_interval
+                )
+            except IndexError as exc:
+                raise ValueError("JPEG entropy data truncated") from exc
             return img
         i += ln
     raise ValueError("JPEG truncated: no scan decoded")
@@ -370,6 +394,10 @@ class _BitWriter:
             self.acc = self.n = 0
 
 
+_STD_DC_TABLE = _HuffTable(*_STD_DC_LUMA)
+_STD_AC_TABLE = _HuffTable(*_STD_AC_LUMA)
+
+
 def _mag_bits(v: int) -> tuple[int, int]:
     """signed value -> (n_bits, magnitude code) per T.81 F.1.2.1."""
     if v == 0:
@@ -435,8 +463,9 @@ def encode_jpeg(
     zigzag-order quantization table for every component (default:
     all-ones → only DCT/IDCT rounding loss, so roundtrip error is a
     few counts per pixel — tight enough for exact-bound tests).
-    ``subsampling``: "444" or "420" (RGB only — 2×2 box-mean chroma;
-    exercises the decoder's MCU interleave + upsample path).
+    ``subsampling``: "444", "422" (2×1 box-mean chroma) or "420"
+    (2×2 — RGB only; exercises the decoder's MCU interleave +
+    upsample paths).
     ``restart_interval``: emit DRI and RSTn every N MCUs (exercises
     the decoder's DC-prediction reset path)."""
     if qtable is None:
@@ -453,7 +482,13 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsampling == "420":
+        if subsampling == "422":
+            cbp = np.pad(cb, ((0, 0), (0, w % 2)), mode="edge")
+            crp = np.pad(cr, ((0, 0), (0, w % 2)), mode="edge")
+            cb = cbp.reshape(cbp.shape[0], cbp.shape[1] // 2, 2).mean(axis=2)
+            cr = crp.reshape(crp.shape[0], crp.shape[1] // 2, 2).mean(axis=2)
+            samps = [(2, 1), (1, 1), (1, 1)]
+        elif subsampling == "420":
             # 2x2 box mean on an edge-padded even grid
             cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
             crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
@@ -469,8 +504,7 @@ def encode_jpeg(
         else:
             raise ValueError(f"unsupported subsampling {subsampling}")
         planes = [y, cb, cr]
-    dc_t = _HuffTable(*_STD_DC_LUMA)
-    ac_t = _HuffTable(*_STD_AC_LUMA)
+    dc_t, ac_t = _STD_DC_TABLE, _STD_AC_TABLE
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -512,7 +546,14 @@ def encode_jpeg(
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
     ncomp = len(planes)
-    dqt = seg(0xDB, bytes([0]) + bytes(int(x) & 0xFF for x in qtable))
+    if int(qtable.max()) > 255:
+        dqt = seg(
+            0xDB,
+            bytes([0x10])
+            + b"".join(int(x).to_bytes(2, "big") for x in qtable),
+        )
+    else:
+        dqt = seg(0xDB, bytes([0]) + bytes(int(x) for x in qtable))
     sof_comps = b"".join(
         bytes([cid + 1, (samps[cid][0] << 4) | samps[cid][1], 0])
         for cid in range(ncomp)

@@ -340,16 +340,19 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def _png_filter_region(px: np.ndarray, bpp: int) -> bytearray:
+def _png_filter_region(px: np.ndarray, bpp: int, phase: int = 0) -> bytearray:
     """Filter one (h, w*bpp) uint8 region for the IDAT stream, cycling
     filters 0..4 per row so a roundtrip exercises every unfilter
-    branch of :func:`_png_unfilter`."""
+    branch of :func:`_png_unfilter`. ``phase`` offsets the cycle —
+    the Adam7 encoder threads a running row count through it so even
+    a small interlaced image (whose passes each have <5 rows) still
+    emits all five filter types across the stream."""
     h = px.shape[0]
     zeros = np.zeros(bpp, dtype=np.int64)
     prior = np.zeros(px.shape[1], dtype=np.int64)
     scan = bytearray()
     for y in range(h):
-        ftype = y % 5
+        ftype = (phase + y) % 5
         cur = px[y].astype(np.int64)
         left = np.concatenate([zeros, cur[:-bpp]]) if cur.size > bpp else (
             np.zeros_like(cur)
@@ -387,6 +390,7 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     px3 = img.reshape(h, w, channels).astype(np.uint8)
     scan = bytearray()
     if interlace:
+        rows_done = 0
         for x0, xs, y0, ys in _ADAM7:
             sub = px3[y0::ys, x0::xs]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
@@ -395,8 +399,10 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
                 _png_filter_region(
                     sub.reshape(sub.shape[0], sub.shape[1] * channels),
                     channels,
+                    phase=rows_done,
                 )
             )
+            rows_done += sub.shape[0]
     else:
         scan = _png_filter_region(px3.reshape(h, w * channels), channels)
     ihdr = (

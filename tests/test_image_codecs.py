@@ -2,8 +2,9 @@
 
 PPM/PGM/BMP need no codec library; PNG (r6) needs only stdlib zlib +
 numpy unfiltering, so `decode_image` is a real decoder for all four —
-including Adam7-interlaced, 8-bit palette, and 16-bit PNG. Only JPEG
-and sub-byte (1/2/4-bit) PNG remain behind the declared
+including Adam7-interlaced, 8-bit palette, and 16-bit PNG (baseline
+JPEG decodes too — test_jpeg_codec.py). Only sub-byte (1/2/4-bit)
+PNG and progressive/arithmetic/12-bit JPEG remain behind the declared
 NotImplementedError stub. Roundtrips cover the classic trip-up cases:
 BMP row padding (width not a multiple of 4), bottom-up vs top-down row
 order, BGR channel order, PNM header comments, ascii variants, all
@@ -190,3 +191,33 @@ def test_compressed_formats_still_stub():
     )
     with pytest.raises(NotImplementedError):
         decode_image(payload)
+
+
+def test_adam7_stream_contains_all_five_filters():
+    # the driver's multimodal_decode PNG leg is an 8x8 Adam7 image: the
+    # filter cycle must CONTINUE across passes or Paeth (type 4) would
+    # silently drop out of driver-oracle coverage (no pass has 5 rows)
+    import zlib
+
+    rng = np.random.default_rng(20)
+    payload = encode_png(
+        rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), interlace=True
+    )
+    i, idat = 8, b""
+    while i < len(payload):
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        if payload[i + 4 : i + 8] == b"IDAT":
+            idat += payload[i + 8 : i + 8 + ln]
+        i += 12 + ln
+    raw = zlib.decompress(idat)
+    adam7 = (
+        (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+    )
+    pos, ftypes = 0, set()
+    for x0, xs, y0, ys in adam7:
+        pw, ph = (8 - x0 + xs - 1) // xs, (8 - y0 + ys - 1) // ys
+        for _ in range(ph):
+            ftypes.add(raw[pos])
+            pos += 1 + pw * 3
+    assert ftypes == {0, 1, 2, 3, 4}

@@ -110,3 +110,54 @@ def test_progressive_still_stub():
 def test_truncated_raises():
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xdb")
+
+
+def test_422_subsampling_smooth_image():
+    x = np.linspace(0, 255, 64)
+    img = np.stack(
+        [np.tile(x, (64, 1)), np.tile(x[::-1], (64, 1)),
+         np.full((64, 64), 100.0)],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsampling="422"))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_fill_bytes_before_marker():
+    # T.81 B.1.1.2: any number of 0xFF pad bytes may precede a marker
+    img = _rng(8).integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    i = payload.find(b"\xff\xdb")
+    payload[i:i] = b"\xff\xff"
+    out = decode_jpeg(bytes(payload))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_16bit_quantization_table():
+    # entries > 255 force a Pq=1 (16-bit) DQT segment
+    q = np.full(64, 300, dtype=np.int64)
+    img = np.full((16, 16), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, qtable=q))
+    assert np.abs(out.astype(int) - 200).max() <= 4
+
+
+def test_error_contract_is_valueerror():
+    img = _rng(9).integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    full = encode_jpeg(img)
+    for cut in (80, 200, len(full) - 10):
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:cut])
+
+
+def test_cmyk_guard():
+    seg = (
+        bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([4]) + bytes(12)
+    )
+    payload = (
+        b"\xff\xd8\xff\xc0" + (len(seg) + 2).to_bytes(2, "big") + seg
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(payload)
