@@ -1,7 +1,9 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with the Spark-side plumbing (schema, partitioning, Arrow batch
-shape) real and tested, and the actual codec work stubbed — the
-image/audio libraries are not in this container.
+shape) real and tested. Image decode is REAL (pure numpy + stdlib:
+PPM/PGM, BMP, the full legal PNG envelope, baseline JPEG via
+:mod:`.jpeg`); audio/video codecs remain stubbed — those libraries are
+not in this container.
 
 Layout convention (one table per modality, or a union table with a
 ``modality`` discriminator):
@@ -106,13 +108,14 @@ def synthesize_media(
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an HxWxC (or HxW for grayscale) uint8
     array, pure numpy + stdlib: PPM/PGM (P2/P3/P5/P6), BI_RGB BMP
-    (8/24/32-bit), 8/16-bit PNG — gray / gray+alpha / RGB / RGBA /
-    8-bit palette, interlaced (Adam7) or not (``zlib`` inflate + the
-    five scanline filters vectorized; 16-bit reduced to the high
-    byte) — and baseline JPEG (SOF0/SOF1: Huffman, restart markers,
-    4:4:4/4:2:2/4:2:0, matrix-multiply IDCT — :mod:`.jpeg`). The
-    remaining declared NotImplementedError boundary: progressive/
-    arithmetic/12-bit JPEG and sub-byte-depth PNG."""
+    (8/24/32-bit), the FULL legal PNG envelope — every bit depth
+    (1/2/4/8/16), gray / gray+alpha / RGB / RGBA / palette,
+    interlaced (Adam7) or not (``zlib`` inflate + the five scanline
+    filters vectorized; 16-bit reduced to the high byte, sub-byte
+    expanded to 8) — and baseline JPEG (SOF0/SOF1: Huffman, restart
+    markers, 4:4:4/4:2:2/4:2:0, matrix-multiply IDCT — :mod:`.jpeg`).
+    The remaining declared NotImplementedError boundary: progressive/
+    arithmetic/12-bit JPEG."""
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
@@ -252,14 +255,16 @@ def _png_unfilter(rows: np.ndarray, w: int, h: int, bpp: int) -> np.ndarray:
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
-    """8- and 16-bit PNG, color types 0/2/3/4/6 (gray, RGB, 8-bit
-    palette, gray+alpha, RGBA), interlaced (Adam7) or not, with stdlib
+    """PNG at every legal bit depth (1/2/4/8/16), color types
+    0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), interlaced
+    (Adam7) or not, with stdlib
     ``zlib`` + the vectorized unfilter in :func:`_png_unfilter`. Each
     Adam7 pass is an independently filtered sub-image consumed
     sequentially from the inflated stream and scattered back with
     strided assignment. 16-bit samples are decoded exactly then reduced
-    to their high byte (the uint8 contract of :func:`decode_image`).
-    Sub-byte bit depths (1/2/4) remain the declared boundary."""
+    to their high byte (the uint8 contract of :func:`decode_image`);
+    sub-byte (1/2/4-bit) gray/palette rows unpack MSB-first from their
+    byte-padded, byte-filtered scanlines."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     i, idat = 8, []
@@ -283,10 +288,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
-        raise NotImplementedError(
-            "sub-byte (1/2/4-bit) PNG not supported"
-        )
+    if bit_depth not in (1, 2, 4, 8, 16) or (
+        color_type == 3 and bit_depth == 16
+    ):
+        raise ValueError(f"bad PNG bit depth {bit_depth}")
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -298,7 +303,6 @@ def _decode_png(payload: bytes) -> np.ndarray:
     import zlib
 
     raw = zlib.decompress(b"".join(idat))
-    bpp = channels * (bit_depth // 8)
     if interlace == 0:
         regions = [((0, 1, 0, 1), w, h)]
     elif interlace == 1:
@@ -308,6 +312,35 @@ def _decode_png(payload: bytes) -> np.ndarray:
         ]
     else:
         raise ValueError(f"bad PNG interlace method {interlace}")
+    if bit_depth < 8:
+        # legal only for gray and palette: scanlines pack bit_depth-bit
+        # samples MSB-first into byte-padded rows, and the filters
+        # operate on BYTES with a 1-byte pixel unit (T. PNG 7.2/9.2)
+        if color_type not in (0, 3):
+            raise ValueError(
+                f"bit depth {bit_depth} illegal for color type {color_type}"
+            )
+        vals = np.zeros((h, w), dtype=np.uint8)
+        pos = 0
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.int64)
+        for (x0, xs, y0, ys), pw, ph in regions:
+            if pw == 0 or ph == 0:
+                continue
+            rb = (pw * bit_depth + 7) // 8
+            size = ph * (rb + 1)
+            rows = np.frombuffer(
+                raw, dtype=np.uint8, count=size, offset=pos
+            ).reshape(ph, rb + 1)
+            pos += size
+            un = _png_unfilter(rows, rb, ph, 1)
+            bits = np.unpackbits(un, axis=1)[:, : pw * bit_depth]
+            px = bits.reshape(ph, pw, bit_depth).astype(np.int64) @ weights
+            vals[y0::ys, x0::xs] = px.astype(np.uint8)
+        if color_type == 3:
+            return plte[vals]
+        # gray: expand the sample range to 8 bits (0..2^d-1 -> 0..255)
+        return (vals * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+    bpp = channels * (bit_depth // 8)
     out = np.zeros((h, w, bpp), dtype=np.uint8)
     pos = 0
     for (x0, xs, y0, ys), pw, ph in regions:

@@ -2,9 +2,10 @@
 
 PPM/PGM/BMP need no codec library; PNG (r6) needs only stdlib zlib +
 numpy unfiltering, so `decode_image` is a real decoder for all four —
-including Adam7-interlaced, 8-bit palette, and 16-bit PNG (baseline
-JPEG decodes too — test_jpeg_codec.py). Only sub-byte (1/2/4-bit)
-PNG and progressive/arithmetic/12-bit JPEG remain behind the declared
+including Adam7 interlace, palette, 16-bit, and the sub-byte
+(1/2/4-bit) gray/palette depths — the FULL legal PNG envelope
+(baseline JPEG decodes too — test_jpeg_codec.py). Only
+progressive/arithmetic/12-bit JPEG remains behind the declared
 NotImplementedError stub. Roundtrips cover the classic trip-up cases:
 BMP row padding (width not a multiple of 4), bottom-up vs top-down row
 order, BGR channel order, PNM header comments, ascii variants, all
@@ -169,28 +170,72 @@ def test_png_16bit_high_byte():
     assert np.array_equal(decode_image(payload), (vals >> 8).astype(np.uint8))
 
 
-def test_compressed_formats_still_stub():
+def test_unknown_container_still_stub():
+    # unknown containers stay declared stubs (baseline JPEG and every
+    # legal PNG depth now decode natively; progressive JPEG raises in
+    # test_jpeg_codec.py)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01not-an-image")
+
+
+def _build_png(w, h, depth, ctype, scan, plte=None):
     import zlib
 
     from alix_spark.textops.multimodal import _PNG_SIG, _png_chunk
 
-    # unknown containers stay declared stubs (baseline JPEG now decodes
-    # natively — see test_jpeg_codec.py; progressive JPEG raises there)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x00\x01not-an-image")
-    # PNG variants outside the implemented envelope stay declared stubs:
-    # sub-byte bit depths (1/2/4)
-    payload = (
-        _PNG_SIG
-        + _png_chunk(
-            b"IHDR",
-            (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([4, 0, 0, 0, 0]),
-        )
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 12))
-        + _png_chunk(b"IEND", b"")
+    p = _PNG_SIG + _png_chunk(
+        b"IHDR",
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([depth, ctype, 0, 0, 0]),
     )
-    with pytest.raises(NotImplementedError):
-        decode_image(payload)
+    if plte is not None:
+        p += _png_chunk(b"PLTE", plte.tobytes())
+    return p + _png_chunk(b"IDAT", zlib.compress(bytes(scan))) + _png_chunk(
+        b"IEND", b""
+    )
+
+
+def _pack_row(vals, depth):
+    bits = np.concatenate(
+        [np.unpackbits(np.uint8(v))[8 - depth :] for v in vals]
+    )
+    pad = (-len(bits)) % 8
+    bits = np.concatenate([bits, np.zeros(pad, dtype=np.uint8)])
+    return np.packbits(bits).tobytes()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub_byte_gray_and_palette(depth):
+    rng = np.random.default_rng(30 + depth)
+    h, w = 7, 11  # 11 samples: rows are byte-padded mid-bit
+    maxv = (1 << depth) - 1
+    vals = rng.integers(0, maxv + 1, (h, w))
+    scan = bytearray()
+    for y in range(h):
+        scan.append(0)
+        scan.extend(_pack_row(vals[y], depth))
+    out = decode_image(_build_png(w, h, depth, 0, scan))
+    assert np.array_equal(out, (vals * (255 // maxv)).astype(np.uint8))
+    plte = rng.integers(0, 256, (maxv + 1, 3), dtype=np.uint8)
+    out2 = decode_image(_build_png(w, h, depth, 3, scan, plte=plte))
+    assert np.array_equal(out2, plte[vals])
+
+
+def test_png_1bit_sub_filtered():
+    # sub-byte scanlines filter on BYTES with a 1-byte pixel unit
+    rng = np.random.default_rng(40)
+    h, w = 5, 16
+    vals = rng.integers(0, 2, (h, w))
+    scan = bytearray()
+    for y in range(h):
+        rb = np.frombuffer(_pack_row(vals[y], 1), dtype=np.uint8).astype(
+            np.int64
+        )
+        filt = (rb - np.concatenate([[0], rb[:-1]])) & 255
+        scan.append(1)
+        scan.extend(filt.astype(np.uint8).tobytes())
+    out = decode_image(_build_png(w, h, 1, 0, scan))
+    assert np.array_equal(out, (vals * 255).astype(np.uint8))
 
 
 def test_adam7_stream_contains_all_five_filters():
