@@ -2,7 +2,9 @@
 metadata, with the Spark-side plumbing (schema, partitioning, Arrow batch
 shape) real and tested. Image decode is REAL (pure numpy + stdlib:
 PPM/PGM, BMP, the full legal PNG envelope, baseline JPEG via
-:mod:`.jpeg`); audio/video codecs remain stubbed — those libraries are
+:mod:`.jpeg`) and so is PCM WAV audio (:func:`decode_audio`: RIFF
+chunk walk, 8/16/24/32-bit integer + 32/64-bit float, multi-channel);
+compressed audio/video codecs remain stubbed — those libraries are
 not in this container.
 
 Layout convention (one table per modality, or a union table with a
@@ -596,4 +598,158 @@ def frame_sample_plan(
                 F.lit(every_ms),
             )
         ).alias("frame_ts_ms"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# audio: PCM WAV (RIFF) — pure stdlib/numpy, no codec library
+# --------------------------------------------------------------------- #
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM RIFF/WAVE payload → (samples, sample_rate).
+
+    Samples are float64 in [-1, 1], shape (n_frames,) mono or
+    (n_frames, n_channels). Supports the PCM formats stdlib-decodable
+    with numpy alone: unsigned 8-bit, signed 16/24/32-bit little-endian
+    (format code 1) and 32/64-bit float (code 3). Chunk-walks the RIFF
+    container, so extra chunks (LIST, fact, cue) are skipped correctly.
+    Compressed codecs (MP3, AAC, FLAC, µ-law…) genuinely need a codec
+    library — they raise NotImplementedError, the declared boundary."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio (MP3/AAC/FLAC/...) requires codec libs; "
+            "PCM WAV decodes natively"
+        )
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        ln = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + ln]
+        i += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = {
+                "code": int.from_bytes(body[0:2], "little"),
+                "channels": int.from_bytes(body[2:4], "little"),
+                "rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    code, nch, bits = fmt["code"], fmt["channels"], fmt["bits"]
+    if code == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE not supported")
+    if code == 1:  # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                 - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8)
+            b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(
+                1 << 31
+            )
+        else:
+            raise NotImplementedError(f"{bits}-bit integer PCM")
+    elif code == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        x = np.frombuffer(data, dtype=dt).astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV format code {code} requires codecs")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch)
+    return x, fmt["rate"]
+
+
+def encode_wav(
+    samples: np.ndarray, rate: int, bits: int = 16
+) -> bytes:
+    """float [-1,1] (n,) or (n, ch) → PCM RIFF/WAVE bytes (8/16-bit
+    integer PCM) — the test-side twin of :func:`decode_audio`."""
+    x = np.asarray(samples, dtype=np.float64)
+    nch = 1 if x.ndim == 1 else x.shape[1]
+    if bits == 16:
+        pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+    elif bits == 8:
+        pcm = np.clip(
+            np.round(x * 128.0) + 128, 0, 255
+        ).astype(np.uint8)
+    else:
+        raise ValueError("encode_wav supports 8/16-bit PCM")
+    raw = pcm.tobytes()
+    block = nch * bits // 8
+    fmt = (
+        (1).to_bytes(2, "little") + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(raw).to_bytes(4, "little") + raw
+    )
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zero_cross_rate", DoubleType()),
+    ]
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, payload) → per-clip stats through the REAL WAV decode
+    path: sample rate, frame/channel counts, duration, RMS, peak,
+    zero-crossing rate — the map-only decode/feature stage shape
+    (Arrow-batched, no shuffle)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x, rate = decode_audio(bytes(payload))
+                mono = x if x.ndim == 1 else x.mean(axis=1)
+                n = x.shape[0]
+                nch = 1 if x.ndim == 1 else x.shape[1]
+                zc = (
+                    float(np.count_nonzero(np.diff(np.signbit(mono))))
+                    / max(1, n - 1)
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(rate),
+                        int(n),
+                        int(nch),
+                        1000.0 * n / rate,
+                        float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+                        float(np.abs(mono).max()) if n else 0.0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        kernel, AUDIO_STATS_SCHEMA
     )
