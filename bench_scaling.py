@@ -97,6 +97,98 @@ def host_envelope() -> dict:
                 "error": str(e)[:120]}
 
 
+# In-L2 variant of the envelope kernel: 256x256 operands (~0.5 MB
+# working set) stay inside a single core's private cache, so a 4-way
+# shortfall on THIS kernel cannot be memory-bandwidth contention — it
+# is cpu-frequency / hypervisor-scheduling only. Comparing it with the
+# 900x900 DRAM kernel splits the envelope into its two causes.
+SMALL_KERNEL = ENVELOPE_KERNEL.replace("(900, 900)", "(256, 256)").replace(
+    "range(8)", "range(420)"
+)
+
+
+def _steal_ticks() -> tuple[int, int]:
+    f = open("/proc/stat").readline().split()
+    return int(f[8]), sum(int(x) for x in f[1:])
+
+
+def envelope_decomposition() -> dict:
+    """Attribute the envelope shortfall: run the in-L2 kernel and the
+    DRAM kernel, solo vs 4 concurrent processes, sampling hypervisor
+    steal ticks around every leg. Readings:
+
+    * in-L2 envelope ~= DRAM envelope  -> the depression is frequency /
+      vCPU-scheduling (physical-host SMT siblings / co-tenants), NOT
+      bandwidth; no guest workload shape can avoid it;
+    * steal%% near zero while the envelope is depressed -> the vCPUs
+      are running but retiring fewer instructions/cycle — sibling
+      sharing on the physical host, invisible to the guest except
+      through IPC (this box exposes no SMT topology: 32 single-thread
+      cores in /sys, yet 4 independent in-cache processes run well
+      below 4x solo speed).
+
+    Like host_envelope(), never raises — a dead probe annotates as
+    sentinel values.
+    """
+    env = dict(
+        os.environ,
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+    )
+    import time as _time
+
+    def _solo(kernel: str) -> float:
+        out = subprocess.run(
+            [sys.executable, "-c", kernel],
+            capture_output=True, text=True, env=env, timeout=300,
+        ).stdout.strip()
+        return float(out)
+
+    def _four(kernel: str) -> float:
+        t0 = _time.time()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", kernel],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                env=env,
+            )
+            for _ in range(4)
+        ]
+        try:
+            for p in procs:
+                p.wait(timeout=600)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return _time.time() - t0
+
+    def _leg(fn, kernel):
+        s0, t0 = _steal_ticks()
+        wall = fn(kernel)
+        s1, t1 = _steal_ticks()
+        dt = t1 - t0
+        return wall, (100.0 * (s1 - s0) / dt if dt else 0.0)
+
+    try:
+        out = {}
+        for name, kernel in (("in_l2", SMALL_KERNEL), ("dram", ENVELOPE_KERNEL)):
+            w1a, st1a = _leg(_solo, kernel)
+            w1b, st1b = _leg(_solo, kernel)
+            w4, st4 = _leg(_four, kernel)
+            out[name] = {
+                "solo_sec": round(min(w1a, w1b), 3),
+                "four_way_sec": round(w4, 3),
+                "envelope": round(min(w1a, w1b) / w4, 3),
+                "steal_pct_solo": round(min(st1a, st1b), 2),
+                "steal_pct_4way": round(st4, 2),
+            }
+        return out
+    except Exception as e:  # pragma: no cover - host-degradation path
+        return {"error": str(e)[:120]}
+
+
 WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
@@ -235,6 +327,11 @@ def main() -> None:
                 return  # do NOT burn a pool sample on a bad host
             _time.sleep(120)
 
+    # one decomposition reading per sample: attributes any envelope
+    # shortfall to frequency/scheduling vs bandwidth BEFORE the legs run
+    decomp = envelope_decomposition()
+    print(json.dumps({"envelope_decomposition": decomp}), flush=True)
+
     shm = Path("/dev/shm")
     tmp = tempfile.mkdtemp(
         prefix="alix_scale_", dir=str(shm) if shm.is_dir() else None
@@ -310,6 +407,7 @@ def main() -> None:
         # legs; min() is the worst moment the measurement lived through
         "host_envelope_4way": [e["envelope"] for e in envelopes],
         "envelope_detail": envelopes,
+        "envelope_decomposition": decomp,
     }
     print(json.dumps(summary))
 
@@ -341,6 +439,17 @@ def main() -> None:
             f" host-imposed ceiling on ANY 4-way workload at those"
             f" moments.\n"
         )
+        if "error" not in decomp:
+            l2, dr = decomp["in_l2"], decomp["dram"]
+            f.write(
+                f"Envelope decomposition at sample time: in-L2 kernel "
+                f"{l2['envelope']} (steal {l2['steal_pct_4way']}% on the "
+                f"4-way leg) vs DRAM kernel {dr['envelope']} (steal "
+                f"{dr['steal_pct_4way']}%) — when the two agree, the "
+                f"shortfall is frequency/vCPU-scheduling on the physical "
+                f"host, not memory bandwidth, and no workload shape can "
+                f"avoid it.\n"
+            )
     print(f"appended to {bench_md}")
 
 
