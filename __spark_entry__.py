@@ -782,7 +782,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     row (% 4 == 2, r6); doc_id % 4 == 3 is a FLAT grayscale baseline
     JPEG (every pixel = (doc_id·7) mod 256 — DC-only, so the lossy
     codec is exact and the full Huffman/DCT decode path is under the
-    arithmetic oracle). All four decode through the pure-numpy/zlib
+    arithmetic oracle; doc_id % 8 == 7 encodes the SAME flat image as
+    a PROGRESSIVE (SOF2) stream — successive-approximation DC scans +
+    banked AC EOB runs — with identical pixels, putting the r6
+    progressive decoder under the same oracle). All four decode
+    through the pure-numpy/zlib
     parsers in textops/multimodal.py and reduce to dimension +
     per-channel means. The oracle reconstructs the same pixels
     arithmetically in SQL, so a green row proves all four
@@ -791,7 +795,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     means)."""
     import pandas as pd
 
-    from alix_spark.textops.jpeg import encode_jpeg
+    from alix_spark.textops.jpeg import encode_jpeg, encode_jpeg_progressive
     from alix_spark.textops.multimodal import (
         decode_image_stats,
         encode_bmp,
@@ -811,7 +815,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sel = doc_id % 4
                 if sel == 3:
                     img = np.full((8, 8), (doc_id * 7) % 256, dtype="uint8")
-                    payload = encode_jpeg(img)
+                    enc_j = (
+                        encode_jpeg_progressive
+                        if doc_id % 8 == 7
+                        else encode_jpeg
+                    )
+                    payload = enc_j(img)
                 else:
                     r = np.arange(8).reshape(8, 1, 1)
                     c = np.arange(8).reshape(1, 8, 1)

@@ -6,14 +6,21 @@ multimodal path decodes them for feature extraction. Round 6 removed
 the PNG half of the "needs a codec library" boundary; this module
 removes the JPEG half for the dominant profile:
 
-* decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
-  4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart markers.
-  Progressive (SOF2), arithmetic coding, and 12-bit remain the
-  declared ``NotImplementedError`` boundary.
+* decode: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+  (SOF2 — spectral selection + successive approximation, all four
+  scan kinds: DC first/refine, AC first/refine with EOB-run banking),
+  8-bit, grayscale or YCbCr, 4:4:4 / 4:2:2 / 4:2:0 chroma
+  subsampling, restart markers. Arithmetic coding, 12-bit, and
+  lossless/hierarchical modes remain the declared
+  ``NotImplementedError`` boundary.
 * encode: baseline 4:4:4 with caller-supplied quantization (default:
   all-ones tables → near-lossless roundtrip, so tests can assert a
   tight pixel bound through the REAL bitstream — Huffman, DC
-  prediction, byte stuffing, the lot).
+  prediction, byte stuffing, the lot), plus a progressive encoder
+  (``encode_jpeg_progressive``) emitting either a spectral-selection
+  scan script or a full successive-approximation one, so the
+  progressive decoder is driven through real multi-scan bitstreams
+  including banked EOB runs and refinement correction bits.
 
 Everything heavy is vectorized: the 2-D DCT-II/III as two 8×8 matrix
 multiplies over an (n_blocks, 8, 8) stack, upsampling as
@@ -219,7 +226,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 qt[pq_tq & 15] = tbl
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("12-bit JPEG not supported")
@@ -236,17 +243,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                _alloc_coef_grids(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) supported"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) "
+                "JPEG supported — no arithmetic/lossless/hierarchical"
             )
         elif marker == 0xDA:  # SOS — scan follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if frame is not None and ns != len(frame["comps"]):
+            if not frame["progressive"] and ns != len(frame["comps"]):
                 raise NotImplementedError(
                     "non-interleaved (multi-scan) baseline JPEG not supported"
                 )
@@ -254,6 +265,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, td_ta = seg[1 + 2 * c : 3 + 2 * c]
                 scan_sel[cs] = (td_ta >> 4, td_ta & 15)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
             # entropy-coded data: up to the next non-RST marker
             j = i + ln
             chunks, start = [], j
@@ -268,6 +281,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 j += 1
             chunks.append(payload[start:j])
             try:
+                if frame["progressive"]:
+                    _prog_scan(
+                        frame, huff, scan_sel, ss, se,
+                        ah_al >> 4, ah_al & 15, chunks, restart_interval,
+                    )
+                    i = j  # keep walking markers: more scans follow
+                    continue
                 img = _decode_scan(
                     frame, qt, huff, scan_sel, chunks, restart_interval
                 )
@@ -275,21 +295,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("JPEG entropy data truncated") from exc
             return img
         i += ln
+    if frame is not None and frame.get("progressive") and frame.get("scanned"):
+        return _reconstruct(frame, qt)
     raise ValueError("JPEG truncated: no scan decoded")
 
 
-def _decode_scan(frame, qt, huff, scan_sel, chunks, restart_interval):
+def _alloc_coef_grids(frame) -> None:
+    """Per-component coefficient grids sized to the MCU-padded frame,
+    plus the NON-interleaved block dims (T.81 A.2.2: ceil of the
+    component's own sample dims — used by progressive single-component
+    scans, which do not cover the MCU padding)."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component coefficient block grids
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
     for c in comps:
         c["bw"] = mcux * c["h"]
         c["bh"] = mcuy * c["v"]
+        c["nw"] = (-(-(w * c["h"]) // hmax) + 7) // 8
+        c["nh"] = (-(-(h * c["v"]) // vmax) + 7) // 8
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
         c["pred"] = 0
+
+
+def _decode_scan(frame, qt, huff, scan_sel, chunks, restart_interval):
+    comps = frame["comps"]
+    _alloc_coef_grids(frame)
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
     n_mcu = mcux * mcuy
     mcu_idx = 0
     for chunk in chunks:
@@ -332,6 +366,16 @@ def _decode_scan(frame, qt, huff, scan_sel, chunks, restart_interval):
                         col = mx * c["h"] + bx
                         c["coef"][row * c["bw"] + col] = blk
             mcu_idx += 1
+    return _reconstruct(frame, qt)
+
+
+def _reconstruct(frame, qt):
+    """Dequantize + inverse DCT all accumulated coefficient grids,
+    upsample, and color-convert — shared by the baseline single-scan
+    path and the progressive end-of-image path."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     # dequantize + inverse DCT, all blocks of a component at once
     planes = []
     for c in comps:
@@ -360,6 +404,164 @@ def _decode_scan(frame, qt, huff, scan_sel, chunks, restart_interval):
     return np.clip(
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
+
+
+# --------------------------------------------------------------------- #
+# progressive (SOF2) scan decoding — T.81 G.2. Each scan deposits bits
+# of the coefficient grids; _reconstruct runs once at EOI.
+# --------------------------------------------------------------------- #
+
+
+def _dc_unit(reader, c, dc_t, idx, ah, al) -> None:
+    """One block's DC contribution (T.81 G.2.1/G.2.2)."""
+    if ah == 0:  # first pass: Huffman-coded diff of (DC >> Al)
+        s = reader.decode_symbol(dc_t)
+        c["pred"] += _extend(reader.read_bits(s), s)
+        c["coef"][idx, 0] = c["pred"] << al
+    elif reader.read_bit():  # refinement: one raw bit per block
+        c["coef"][idx, 0] |= 1 << al
+
+
+def _ac_first_unit(reader, blk, ac_t, ss, se, al, eobrun) -> int:
+    """One block of an AC first-pass scan (T.81 G.2.2, decode side of
+    figure G.3): values arrive point-transformed, stored << Al; an EOB
+    symbol (r<15, s=0) opens a 2^r + ext-bits run of all-EOB blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_unit(reader, blk, ac_t, ss, se, al, eobrun) -> int:
+    """One block of an AC refinement scan (T.81 G.2.3): every already-
+    nonzero coefficient in the band consumes a correction bit as the
+    position pointer walks past it; newly-significant coefficients
+    (always magnitude 1 at this precision) land on zero-history
+    positions counted by the run length; EOB runs still carry the
+    correction bits of the blocks they cover."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_t)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # correction-bit tail below covers k..se
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                # s is always 1 in a refinement scan (new coefficients
+                # surface one bit at a time); the raw bit is the sign
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the remaining band
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_scan(frame, huff, scan_sel, ss, se, ah, al, chunks,
+               restart_interval) -> None:
+    """Apply one progressive scan to the frame's coefficient grids.
+
+    DC scans (Ss=0) may interleave several components in MCU order;
+    AC scans are single-component and walk the component's OWN
+    (non-MCU-padded) block raster, per T.81 A.2.2. Restart intervals
+    reset DC predictions and the EOB run."""
+    comps = [c for c in frame["comps"] if c["id"] in scan_sel]
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    mcux = frame["mcux"]
+    interleaved = len(comps) > 1
+    if interleaved:
+        n_units = mcux * frame["mcuy"]
+    else:
+        c0 = comps[0]
+        # single-component DC scans also use the non-interleaved dims
+        n_units = c0["nw"] * c0["nh"]
+    unit = 0
+    for chunk in chunks:
+        reader = _BitReader(chunk.replace(b"\xff\x00", b"\xff"))
+        for c in comps:
+            c["pred"] = 0
+        eobrun = 0
+        end = (
+            min(unit + restart_interval, n_units)
+            if restart_interval
+            else n_units
+        )
+        while unit < end:
+            if ss == 0:
+                if interleaved:
+                    my, mx = divmod(unit, mcux)
+                    for c in comps:
+                        dc_t = (
+                            huff[(0, scan_sel[c["id"]][0])] if ah == 0 else None
+                        )
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                idx = (my * c["v"] + by) * c["bw"] + (
+                                    mx * c["h"] + bx
+                                )
+                                _dc_unit(reader, c, dc_t, idx, ah, al)
+                else:
+                    c = comps[0]
+                    dc_t = huff[(0, scan_sel[c["id"]][0])] if ah == 0 else None
+                    row, col = divmod(unit, c["nw"])
+                    _dc_unit(reader, c, dc_t, row * c["bw"] + col, ah, al)
+            else:
+                c = comps[0]
+                ac_t = huff[(1, scan_sel[c["id"]][1])]
+                row, col = divmod(unit, c["nw"])
+                blk = c["coef"][row * c["bw"] + col]
+                if ah == 0:
+                    eobrun = _ac_first_unit(
+                        reader, blk, ac_t, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_unit(
+                        reader, blk, ac_t, ss, se, al, eobrun
+                    )
+            unit += 1
+    frame["scanned"] = True
 
 
 # --------------------------------------------------------------------- #
@@ -396,6 +598,40 @@ class _BitWriter:
 
 _STD_DC_TABLE = _HuffTable(*_STD_DC_LUMA)
 _STD_AC_TABLE = _HuffTable(*_STD_AC_LUMA)
+
+
+def _to_planes(img: np.ndarray, subsampling: str):
+    """RGB/gray image → (planes, sampling factors) in encode order."""
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        return [img.astype(np.float64)], [(1, 1)]
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if subsampling == "422":
+        cbp = np.pad(cb, ((0, 0), (0, w % 2)), mode="edge")
+        crp = np.pad(cr, ((0, 0), (0, w % 2)), mode="edge")
+        cb = cbp.reshape(cbp.shape[0], cbp.shape[1] // 2, 2).mean(axis=2)
+        cr = crp.reshape(crp.shape[0], crp.shape[1] // 2, 2).mean(axis=2)
+        samps = [(2, 1), (1, 1), (1, 1)]
+    elif subsampling == "420":
+        # 2x2 box mean on an edge-padded even grid
+        cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+        crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        samps = [(2, 2), (1, 1), (1, 1)]
+    elif subsampling == "444":
+        samps = [(1, 1), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling}")
+    return [y, cb, cr], samps
 
 
 def _mag_bits(v: int) -> tuple[int, int]:
@@ -472,38 +708,7 @@ def encode_jpeg(
         qtable = np.ones(64, dtype=np.int64)
     qtable = np.asarray(qtable, dtype=np.int64).reshape(64)
     h, w = img.shape[:2]
-    gray = img.ndim == 2
-    if gray:
-        planes = [img.astype(np.float64)]
-        samps = [(1, 1)]
-    else:
-        rgb = img.astype(np.float64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsampling == "422":
-            cbp = np.pad(cb, ((0, 0), (0, w % 2)), mode="edge")
-            crp = np.pad(cr, ((0, 0), (0, w % 2)), mode="edge")
-            cb = cbp.reshape(cbp.shape[0], cbp.shape[1] // 2, 2).mean(axis=2)
-            cr = crp.reshape(crp.shape[0], crp.shape[1] // 2, 2).mean(axis=2)
-            samps = [(2, 1), (1, 1), (1, 1)]
-        elif subsampling == "420":
-            # 2x2 box mean on an edge-padded even grid
-            cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
-            crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
-            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
-                axis=(1, 3)
-            )
-            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
-                axis=(1, 3)
-            )
-            samps = [(2, 2), (1, 1), (1, 1)]
-        elif subsampling == "444":
-            samps = [(1, 1), (1, 1), (1, 1)]
-        else:
-            raise ValueError(f"unsupported subsampling {subsampling}")
-        planes = [y, cb, cr]
+    planes, samps = _to_planes(img, subsampling)
     dc_t, ac_t = _STD_DC_TABLE, _STD_AC_TABLE
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
@@ -579,3 +784,312 @@ def encode_jpeg(
         b"\xff\xd8" + dqt + sof + dht + dri + sos
         + b"".join(out_chunks) + b"\xff\xd9"
     )
+
+
+# --------------------------------------------------------------------- #
+# progressive encoder — emits real multi-scan SOF2 bitstreams so the
+# progressive decoder's EOB-run and refinement paths are test-driven.
+# --------------------------------------------------------------------- #
+
+# The baseline Annex-K AC table has no EOBn symbols (0x10..0xE0), so it
+# cannot code banked EOB runs — real progressive encoders ship custom
+# tables. This one is the simplest legal choice: every AC symbol value
+# 0..254 as a 9-bit canonical code (Kraft: 255/512 < 1). Terrible
+# compression, trivially correct — the tests care about the bitstream
+# structure, not the byte count.
+_FLAT_AC_TABLE = _HuffTable([0] * 8 + [255] + [0] * 7, list(range(255)))
+
+
+def _emit_eobrun(wtr, state, ac_t) -> None:
+    """Flush a banked EOB run: the EOBn symbol, its extension bits,
+    then the correction bits buffered for the run's blocks."""
+    n = state["eobrun"]
+    if n:
+        r = n.bit_length() - 1
+        code, ln = ac_t.enc[r << 4]
+        wtr.write(code, ln)
+        if r:
+            wtr.write(n - (1 << r), r)
+        state["eobrun"] = 0
+    _drain_br(wtr, state)
+
+
+def _drain_br(wtr, state) -> None:
+    for bit in state["br"]:
+        wtr.write(bit, 1)
+    state["br"] = []
+
+
+def _emit_ac_first_block(wtr, state, zz, ss, se, al, ac_t) -> None:
+    """AC first pass (T.81 G.1.2.2): point-transformed band values,
+    EOB runs banked across all-trailing-zero blocks."""
+    v = []
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        m = abs(c) >> al
+        v.append(-m if c < 0 else m)
+    last = len(v) - 1
+    while last >= 0 and v[last] == 0:
+        last -= 1
+    if last < 0:  # whole band zero: one more run member
+        state["eobrun"] += 1
+        if state["eobrun"] == 32767:
+            _emit_eobrun(wtr, state, ac_t)
+        return
+    _emit_eobrun(wtr, state, ac_t)  # a coded block ends any pending run
+    r = 0
+    for i in range(last + 1):
+        val = v[i]
+        if val == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_t.enc[0xF0]
+            wtr.write(code, ln)
+            r -= 16
+        s, mag = _mag_bits(val)
+        code, ln = ac_t.enc[(r << 4) | s]
+        wtr.write(code, ln)
+        wtr.write(mag, s)
+        r = 0
+    if last < len(v) - 1:  # trailing zeros: this block joins a new run
+        state["eobrun"] += 1
+        if state["eobrun"] == 32767:
+            _emit_eobrun(wtr, state, ac_t)
+
+
+def _emit_ac_refine_block(wtr, state, zz, ss, se, al, ac_t) -> None:
+    """AC refinement pass (T.81 G.1.2.3): newly-significant
+    coefficients (magnitude 1 at this precision) are Huffman-coded
+    with zero-HISTORY run lengths; already-nonzero coefficients
+    contribute one correction bit each, buffered and drained right
+    after the next emitted symbol so the decoder's position walk
+    consumes them in order; EOB runs carry the covered blocks'
+    correction bits."""
+    mags, signs = [], []
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        mags.append(abs(c) >> al)
+        signs.append(1 if c > 0 else 0)
+    last_new = -1
+    for i, m in enumerate(mags):
+        if m == 1:
+            last_new = i
+    if last_new < 0:  # no new coefficients: run member + its bits
+        state["eobrun"] += 1
+        state["br"].extend(m & 1 for m in mags if m > 1)
+        if state["eobrun"] == 32767:
+            _emit_eobrun(wtr, state, ac_t)
+        return
+    _emit_eobrun(wtr, state, ac_t)
+    r = 0
+    for i in range(last_new + 1):
+        m = mags[i]
+        if m == 0:
+            r += 1
+            continue
+        # ZRLs flush BEFORE this position's own contribution, so the
+        # buffered bits stay aligned with the decoder's 16-zero walk
+        while r > 15:
+            code, ln = ac_t.enc[0xF0]
+            wtr.write(code, ln)
+            _drain_br(wtr, state)
+            r -= 16
+        if m > 1:
+            state["br"].append(m & 1)
+            continue
+        code, ln = ac_t.enc[(r << 4) | 1]
+        wtr.write(code, ln)
+        wtr.write(signs[i], 1)
+        _drain_br(wtr, state)
+        r = 0
+    if last_new < len(mags) - 1:  # band tail joins a new EOB run
+        state["eobrun"] += 1
+        state["br"].extend(
+            mags[i] & 1
+            for i in range(last_new + 1, len(mags))
+            if mags[i] > 1
+        )
+        if state["eobrun"] == 32767:
+            _emit_eobrun(wtr, state, ac_t)
+
+
+def _scan_entropy(n_units, restart_interval, make_state, emit_unit,
+                  finish_chunk=None) -> bytes:
+    """Drive one scan's entropy coding, inserting RSTn markers and
+    resetting scan state every ``restart_interval`` units."""
+    parts: list[bytes] = []
+    u = rst = 0
+    while True:
+        wtr = _BitWriter()
+        state = make_state()
+        end = (
+            min(u + restart_interval, n_units)
+            if restart_interval
+            else n_units
+        )
+        while u < end:
+            emit_unit(wtr, state, u)
+            u += 1
+        if finish_chunk:
+            finish_chunk(wtr, state)
+        wtr.flush()
+        parts.append(bytes(wtr.out))
+        if u >= n_units:
+            return b"".join(parts)
+        parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+        rst += 1
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    subsampling: str = "444",
+    successive: bool = True,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 HxW (gray) or HxWx3 (RGB) → progressive (SOF2) JPEG.
+
+    ``successive=False`` emits a spectral-selection-only script
+    (interleaved DC scan, then per-component AC bands 1-5 and 6-63);
+    ``successive=True`` adds one successive-approximation level
+    (DC first at Al=1 + DC refine; AC first at Al=1 + AC refine to
+    Al=0), exercising all four progressive scan kinds including
+    banked EOB runs with correction bits."""
+    if qtable is None:
+        qtable = np.ones(64, dtype=np.int64)
+    qtable = np.asarray(qtable, dtype=np.int64).reshape(64)
+    h, w = img.shape[:2]
+    planes, samps = _to_planes(img, subsampling)
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    q_rm = np.zeros(64, dtype=np.int64)
+    q_rm[_ZIGZAG] = qtable
+    coefs = [
+        _block_dct(p, mcuy * sv, mcux * sh, q_rm)
+        for p, (sh, sv) in zip(planes, samps)
+    ]
+    zzs = [cz[:, :, _ZIGZAG] for cz in coefs]  # zigzag-order vectors
+    # non-interleaved block dims (what single-component scans cover)
+    nwh = [
+        (
+            (-(-(w * sh) // hmax) + 7) // 8,
+            (-(-(h * sv) // vmax) + 7) // 8,
+        )
+        for sh, sv in samps
+    ]
+    dc_t, ac_t = _STD_DC_TABLE, _FLAT_AC_TABLE
+
+    def dc_scan(al: int):
+        def mk():
+            return {"preds": [0] * ncomp}
+
+        def emit(wtr, state, m):
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                sh, sv = samps[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(zzs[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                        s, mag = _mag_bits(dc - state["preds"][ci])
+                        code, ln = dc_t.enc[s]
+                        wtr.write(code, ln)
+                        if s:
+                            wtr.write(mag, s)
+                        state["preds"][ci] = dc
+
+        data = _scan_entropy(mcux * mcuy, restart_interval, mk, emit)
+        comps_b = b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+        return bytes([ncomp]) + comps_b + bytes([0, 0, al]), data
+
+    def dc_refine(ah: int, al: int):
+        def mk():
+            return {}
+
+        def emit(wtr, state, m):
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                sh, sv = samps[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bit = (
+                            int(zzs[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                        ) & 1
+                        wtr.write(bit, 1)
+
+        data = _scan_entropy(mcux * mcuy, restart_interval, mk, emit)
+        comps_b = b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+        return bytes([ncomp]) + comps_b + bytes([0, 0, (ah << 4) | al]), data
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int):
+        nw, nh = nwh[ci]
+        block_fn = _emit_ac_first_block if ah == 0 else _emit_ac_refine_block
+
+        def mk():
+            return {"eobrun": 0, "br": []}
+
+        def emit(wtr, state, u):
+            row, col = divmod(u, nw)
+            block_fn(wtr, state, zzs[ci][row, col], ss, se, al, ac_t)
+
+        def fin(wtr, state):
+            _emit_eobrun(wtr, state, ac_t)
+
+        data = _scan_entropy(nw * nh, restart_interval, mk, emit, fin)
+        body = bytes([1, ci + 1, 0x00]) + bytes([ss, se, (ah << 4) | al])
+        return body, data
+
+    scans = []
+    if successive:
+        scans.append(dc_scan(1))
+        for ci in range(ncomp):
+            scans.append(ac_scan(ci, 1, 63, 0, 1))
+        scans.append(dc_refine(1, 0))
+        for ci in range(ncomp):
+            scans.append(ac_scan(ci, 1, 63, 1, 0))
+    else:
+        scans.append(dc_scan(0))
+        for ci in range(ncomp):
+            scans.append(ac_scan(ci, 1, 5, 0, 0))
+            scans.append(ac_scan(ci, 6, 63, 0, 0))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    if int(qtable.max()) > 255:
+        dqt = seg(
+            0xDB,
+            bytes([0x10])
+            + b"".join(int(x).to_bytes(2, "big") for x in qtable),
+        )
+    else:
+        dqt = seg(0xDB, bytes([0]) + bytes(int(x) for x in qtable))
+    sof_comps = b"".join(
+        bytes([cid + 1, (samps[cid][0] << 4) | samps[cid][1], 0])
+        for cid in range(ncomp)
+    )
+    sof = seg(
+        0xC2,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([ncomp]) + sof_comps,
+    )
+    flat_counts = [0] * 8 + [255] + [0] * 7
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1])
+        + bytes([0x10]) + bytes(flat_counts) + bytes(range(255)),
+    )
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
+    out = [b"\xff\xd8", dqt, sof, dht, dri]
+    for body, data in scans:
+        out.append(seg(0xDA, body))
+        out.append(data)
+    out.append(b"\xff\xd9")
+    return b"".join(out)

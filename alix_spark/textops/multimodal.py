@@ -115,10 +115,12 @@ def decode_image(payload: bytes) -> "np.ndarray":
     (1/2/4/8/16), gray / gray+alpha / RGB / RGBA / palette,
     interlaced (Adam7) or not (``zlib`` inflate + the five scanline
     filters vectorized; 16-bit reduced to the high byte, sub-byte
-    expanded to 8) — and baseline JPEG (SOF0/SOF1: Huffman, restart
-    markers, 4:4:4/4:2:2/4:2:0, matrix-multiply IDCT — :mod:`.jpeg`).
-    The remaining declared NotImplementedError boundary: progressive/
-    arithmetic/12-bit JPEG."""
+    expanded to 8) — and JPEG, both baseline (SOF0/SOF1) and
+    progressive (SOF2: spectral selection + successive approximation,
+    EOB runs, refinement bits): Huffman, restart markers,
+    4:4:4/4:2:2/4:2:0, matrix-multiply IDCT — :mod:`.jpeg`.
+    The remaining declared NotImplementedError boundary:
+    arithmetic-coded / 12-bit / lossless-hierarchical JPEG."""
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":

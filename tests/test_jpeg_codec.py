@@ -5,9 +5,16 @@ interleaving). With all-ones quantization the only loss is DCT/IDCT
 rounding, so gray roundtrips are exact and RGB is within a few counts
 (YCbCr rounding) — tight enough for hard bounds, not just PSNR.
 
-Boundary: progressive (SOF2), arithmetic coding, and 12-bit remain
-declared NotImplementedError; `decode_image` dispatches on the SOI
-marker.
+Progressive (SOF2) decode is driven the same way, through the
+module's own progressive encoder: spectral-selection and
+successive-approximation scan scripts, banked EOB runs with
+refinement correction bits, restart markers — asserted BIT-EXACT
+against the baseline decode of the same image (both paths must
+reconstruct identical coefficient grids).
+
+Boundary: arithmetic coding, 12-bit, and lossless/hierarchical modes
+remain declared NotImplementedError; `decode_image` dispatches on the
+SOI marker.
 """
 
 from __future__ import annotations
@@ -15,7 +22,11 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from alix_spark.textops.jpeg import decode_jpeg, encode_jpeg
+from alix_spark.textops.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 from alix_spark.textops.multimodal import decode_image
 
 
@@ -98,12 +109,61 @@ def test_decode_image_dispatches_on_soi():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
 
 
-def test_progressive_still_stub():
-    img = _rng(7).integers(0, 256, (8, 8)).astype(np.uint8)
+@pytest.mark.parametrize("successive", [False, True])
+@pytest.mark.parametrize("restart_interval", [0, 3])
+@pytest.mark.parametrize(
+    "shape,sub",
+    [
+        ((24, 31), "444"),  # gray: single-component scans throughout
+        ((24, 31, 3), "444"),
+        ((17, 23, 3), "420"),  # MCU padding != non-interleaved dims
+        ((16, 40, 3), "422"),
+    ],
+)
+def test_progressive_matches_baseline_exactly(shape, sub, successive,
+                                              restart_interval):
+    # the hard invariant: every progressive scan script must deposit
+    # EXACTLY the coefficient grids the baseline single-scan stream
+    # carries, so the two decodes are bit-identical pixel for pixel
+    img = _rng(11).integers(0, 256, shape).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img,
+            subsampling=sub,
+            successive=successive,
+            restart_interval=restart_interval,
+        )
+    )
+    assert prog.dtype == base.dtype and prog.shape == base.shape
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_banked_eob_runs():
+    # heavy quantization zeroes most AC coefficients -> long EOB runs
+    # banked across blocks (the decoder's eobrun>1 path); a smooth
+    # gradient keeps DC varying so the scans still carry structure
+    x = np.linspace(0, 255, 64, dtype=np.uint8)
+    img = np.tile(x, (64, 1))
+    q = np.full(64, 255, dtype=np.int64)
+    q[0] = 1
+    for successive in (False, True):
+        base = decode_jpeg(encode_jpeg(img, qtable=q))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, qtable=q, successive=successive)
+        )
+        assert np.array_equal(prog, base)
+
+
+def test_progressive_malformed_full_band_interleaved_rejected():
+    # a baseline stream whose SOF marker is flipped to SOF2 carries an
+    # interleaved full-band scan — illegal in progressive mode (AC
+    # scans must be single-component) and rejected, not mis-decoded
+    img = _rng(7).integers(0, 256, (8, 8, 3)).astype(np.uint8)
     payload = bytearray(encode_jpeg(img))
     i = payload.find(b"\xff\xc0")
     payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
 
 
