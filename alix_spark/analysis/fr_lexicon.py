@@ -883,6 +883,29 @@ _IRREGULAR_FEM = {
 }
 
 
+# The closed -amment/-emment adverb inventory (dictionary-attested;
+# the series stopped being productive centuries ago). An -ant/-ent
+# adjective derives its adverb ONLY if the result is listed here.
+_MENT_CLOSED = frozenset("""
+abondamment arrogamment brillamment bruyamment complaisamment
+constamment couramment galamment ignoramment incessamment
+indépendamment instamment insuffisamment méchamment nonchalamment
+obligeamment pesamment plaisamment précipitamment puissamment
+savamment suffisamment vaillamment élégamment étonnamment
+apparemment ardemment concurremment consciemment décemment
+différemment diligemment dolemment excellemment fréquemment
+impatiemment impertinemment imprudemment incidemment inconsciemment
+indifféremment indolemment innocemment insolemment intelligemment
+négligemment opulemment patiemment pertinemment précédemment
+prudemment récemment truculemment turbulemment urgemment violemment
+véhémemment éloquemment éminemment évidemment
+""".split())
+
+# -ent adjectives whose adverb is the REGULAR feminine + -ment
+# (outside the -emment series): lent → lentement, présent → présentement
+_ENT_REGULAR_ADV = frozenset({"lent", "présent"})
+
+
 def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
     """Generate the full lexicon: ``graph → (tag, orth, lemma)``.
 
@@ -906,7 +929,7 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
               + Z.NOUNS_SCHOOL + Z.NOUNS_FARM + Z.NOUNS_SKY
               + Z.NOUNS_CITY + Z.NOUNS_SOCIAL + Z.NOUNS_CHEMISTRY
               + Z.NOUNS_OBJECTS + Z.NOUNS_RHETORIC + Z.NOUNS_TAIL
-              + Z.NOUNS_TAIL2):
+              + Z.NOUNS_TAIL2 + Z.NOUNS_TAIL3):
         n = _strip_marker(n)
         put(n, D.SUB, n)
         put(pluralize(n), D.SUB, n)
@@ -945,13 +968,19 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
         put(fem, D.ADJ, a)
         put(pluralize(a), D.ADJ, a)
         put(pluralize(fem), D.ADJ, a)
-        # -ment adverb derivation: -ant→-amment / -ent→-emment (except
-        # lent), vowel-final masculine + ment (vraiment, poliment),
-        # otherwise feminine + ment (lentement, heureusement)
-        if a.endswith("ant"):
-            adv = a[:-3] + "amment"
-        elif a.endswith("ent") and a != "lent":
-            adv = a[:-3] + "emment"
+        # -ment adverb derivation: vowel-final masculine + ment
+        # (vraiment, poliment), otherwise feminine + ment (lentement,
+        # heureusement). The -amment/-emment series is NOT productive:
+        # it is a closed historical inventory (couramment, ardemment…
+        # but *moulamment, *verdoyamment are not words), so -ant/-ent
+        # adjectives derive an adverb only through _MENT_CLOSED — the
+        # same gate discipline as `non_deriving` for -isation above.
+        if a in _ENT_REGULAR_ADV:  # lentement, présentement
+            adv = fem + "ment"
+        elif a.endswith(("ant", "ent")):
+            adv = a[:-3] + ("amment" if a.endswith("ant") else "emment")
+            if adv not in _MENT_CLOSED:
+                adv = ""
         elif a[-1] in "aeiouéû":
             adv = a + "ment"
         else:

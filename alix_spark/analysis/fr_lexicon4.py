@@ -910,3 +910,22 @@ parisette pegmatite phonolite potamot pulicaire péridotite raiponce
 rhyolite rousserolle sarcelle syénite tadorne tormentille trachyte
 tussilage venturon verge0 éclogite égopode épiaire
 """.split()
+
+
+# tail tranche 3: household objects, garments, tools, weather and
+# feeling nouns — authored diff-filtered against the built lexicon
+NOUNS_TAIL3 = """
+abattement accablement accalmie alanguissement alêne anorak balustre
+bermuda besace bob boléro bouleversement boutoir brasero bédane
+cache-pot cadenas cagoule calepin canisse canotier cendrier
+chamboulement chasse-clou clayette cuvette doudoune dévidoir effroi
+emballement espadrille ferveur gamelle gandoura gargoulette
+girouette grattoir havresac jodhpurs lavabo lessiveuse liquette
+loupiote mailloche mangeoire manivelle merlin morosité moulinet
+nichoir nordet noroît paillasson panière pardessus peignoir pincette
+porte-manteau potence presse-papier raclette rebord rifloir rince-
+doigts salopette sarbacane serpillière serre-joint tisonnier
+torchère tricorne tringle trousseau trusquin trébuchet vastringue
+wassingue éblouissement égouttoir énervement épuisette étendoir
+étourdissement
+""".split()
