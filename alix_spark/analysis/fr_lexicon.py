@@ -905,6 +905,83 @@ véhémemment éloquemment éminemment évidemment
 # (outside the -emment series): lent → lentement, présent → présentement
 _ENT_REGULAR_ADV = frozenset({"lent", "présent"})
 
+# Lexicalized adverbs the mechanical rules misspell: the -ément accent
+# shift (profond → profondément, NOT *profondement), the traditional
+# -ûment circumflex series, and true irregulars (gentiment, mollement).
+_ADV_LEXICALIZED = {
+    "gentil": "gentiment", "mou": "mollement", "fou": "follement",
+    "bref": "brièvement", "traître": "traîtreusement",
+    "profond": "profondément", "précis": "précisément",
+    "intense": "intensément", "immense": "immensément",
+    "énorme": "énormément", "aveugle": "aveuglément",
+    "commode": "commodément", "incommode": "incommodément",
+    "conforme": "conformément", "uniforme": "uniformément",
+    "commun": "communément", "confus": "confusément",
+    "diffus": "diffusément", "obscur": "obscurément",
+    "exprès": "expressément", "opportun": "opportunément",
+    "importun": "importunément", "exquis": "exquisément",
+    "assidu": "assidûment", "continu": "continûment",
+    "goulu": "goulûment", "cru": "crûment",
+    "congru": "congrûment", "incongru": "incongrûment",
+    "impuni": "impunément", "profus": "profusément",
+    "gai": "gaiement",
+}
+
+# Adjectives whose -ment adverb is ATTESTED (fortement, heureusement,
+# doucement…). Derivation is allowlist-only: the rule "feminine +
+# -ment" is formally regular but lexically closed — most technical,
+# gentile, color, and participial adjectives have NO adverb
+# (*comestiblement, *libyennement, *bleument, *caramélisément), so a
+# blanket rule fabricates hundreds of non-words. Masc-vowel-final
+# entries (vrai, joli, désolé…) take masculine + ment.
+_ADV_ALLOW = frozenset("""
+abusif actif actuel admirable adorable adroit affectueux agile
+agressif agréable aimable amer amical ample anatomique ancien annuel
+anonyme astucieux atroce attentif audacieux authentique automatique
+banal bas bizarre bon brutal calme candide certain chaleureux
+charitable chaud chimique chronique clair clandestin classique
+comique complet confortable considérable convenable convulsif
+cordial courageux courtois craintif cruel crédule cupide curieux
+difforme digne diplomatique distrait docile doux dramatique dur
+débonnaire définitif délicieux démocratique déplorable dévot
+effroyable emphatique enfantin entier exact excessif expéditif
+extraordinaire facile faible fameux familier fatal fautif faux
+fertile fier fin fiévreux flegmatique fort fougueux fragile frais
+franc froid frugal frénétique funeste furieux furtif futile fécond
+féodal glacial global glorieux gracieux graduel grand grave grivois
+grossier général généreux habile habituel hardi haut hautain heureux
+honnête honorable honteux horizontal horrible hostile humain humide
+hâtif héroïque identique illégal immobile impeccable impulsif
+impérial impétueux incroyable infaillible infime infini inlassable
+innombrable inquiet instinctif intempestif intime intrépide intuitif
+inutile invisible inégal inévitable irréprochable jaloux joli jovial
+joyeux judicieux juste large latéral lent libre limpide lisible
+littéral lointain long loyal lucide luxueux légal léger légitime
+machinal majestueux maladif maladroit malheureux malhonnête
+malicieux malin manuel massif mensuel merveilleux minutieux modeste
+muet musical mystérieux méticuleux narquois naturel naïf nerveux net
+normal notable nul négatif objectif occasionnel officiel ordinaire
+orgueilleux original paisible paresseux particulier partiel passif
+pauvre païen pensif perfide perpétuel personnel petit peureux
+pittoresque placide plaintif plantureux plein poli politique
+ponctuel positif preste primitif principal probable prochain
+professionnel prompt propre précieux précoce public pudique puéril
+quotidien radical raisonnable rapide rare rationnel redoutable
+relatif religieux remarquable respectueux riche rigide rigoureux
+robuste romanesque rond royal rude rural rustique réel régulier
+résolu sage sain sauvage savoureux sceptique sec sensible seul
+significatif silencieux simple sincère sociable social soigneux
+solennel solide solitaire sombre somptueux soudain souple sournois
+splendide sportif spécial stoïque stratégique studieux stupide
+stérile suave subit subjectif subtil successif symbolique séculaire
+sérieux tardif tendre terrible textuel théorique théâtral timide
+total traditionnel tragique tranquille triste téméraire ultime
+unanime unique universel usuel utile vain vaste verbal vertical vif
+vigoureux vindicatif visible vital vrai véritable âpre économique
+égal électrique énergique épais éternel étourdi étrange étroit
+évasif éventuel
+""".split())
+
 
 def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
     """Generate the full lexicon: ``graph → (tag, orth, lemma)``.
@@ -968,27 +1045,37 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
         put(fem, D.ADJ, a)
         put(pluralize(a), D.ADJ, a)
         put(pluralize(fem), D.ADJ, a)
-        # -ment adverb derivation: vowel-final masculine + ment
-        # (vraiment, poliment), otherwise feminine + ment (lentement,
-        # heureusement). The -amment/-emment series is NOT productive:
-        # it is a closed historical inventory (couramment, ardemment…
-        # but *moulamment, *verdoyamment are not words), so -ant/-ent
-        # adjectives derive an adverb only through _MENT_CLOSED — the
-        # same gate discipline as `non_deriving` for -isation above.
-        if a in _ENT_REGULAR_ADV:  # lentement, présentement
+        # -ment adverb derivation — every path is gated on an attested
+        # inventory, because each formal rule is lexically closed (see
+        # _ADV_ALLOW / _MENT_CLOSED / _ADV_LEXICALIZED): the
+        # lexicalized map first (the mechanical rules would misspell
+        # profondément, gentiment, assidûment, gaiement), then the
+        # closed -amment/-emment series, then attested fem/masc+ment.
+        if a in _ADV_LEXICALIZED:
+            adv = _ADV_LEXICALIZED[a]
+        elif a in _ENT_REGULAR_ADV:  # lentement, présentement
             adv = fem + "ment"
         elif a.endswith(("ant", "ent")):
             adv = a[:-3] + ("amment" if a.endswith("ant") else "emment")
             if adv not in _MENT_CLOSED:
                 adv = ""
-        elif a[-1] in "aeiouéû":
-            adv = a + "ment"
+        elif a in _ADV_ALLOW:
+            adv = a + "ment" if a[-1] in "aeiouéû" else fem + "ment"
         else:
-            adv = fem + "ment"
+            adv = ""
         if len(adv) > 6:
             put(adv, D.ADV, adv)
 
-    for adv in ADVERBS:
+    # the closed -amment/-emment inventory and the lexicalized map are
+    # attested adverbs in their own right — register them directly so
+    # they do not depend on their base adjective being inventoried
+    # (couramment must exist whether or not "courant" is an entry)
+    for adv in _MENT_CLOSED:
+        put(adv, D.ADV, adv)
+    for adv in _ADV_LEXICALIZED.values():
+        put(adv, D.ADV, adv)
+
+    for adv in ADVERBS + Z.ADVERBS_EXT2:
         adv = _strip_marker(adv).replace("-", " ")
         put(adv, D.ADV, adv)
 
@@ -997,7 +1084,8 @@ def build_lexicon() -> dict[str, tuple[int, str | None, str | None]]:
               + Y.VERBS_ER_BODY + Y.VERBS_ER_SOUNDS + Y.VERBS_ER_MOVEMENT
               + Y.VERBS_ER_CIVIC + Y.VERBS_ER_EVERYDAY + Y.VERBS_ER_SOCIETY
               + Y.VERBS_ER_MODERN + Y.VERBS_ER_LAST + Y.VERBS_ER_FINAL2
-              + Z.VERBS_ER_LITERARY + Z.VERBS_ER_NATURE + Z.VERBS_ER_HOUSE):
+              + Z.VERBS_ER_LITERARY + Z.VERBS_ER_NATURE + Z.VERBS_ER_HOUSE
+              + Z.VERBS_ER_EXPRESSIVE):
         lemma = _strip_marker(v)
         if lemma in ("aller", "envoyer", "renvoyer"):  # true irregulars
             continue

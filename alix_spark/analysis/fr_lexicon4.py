@@ -929,3 +929,61 @@ torchère tricorne tringle trousseau trusquin trébuchet vastringue
 wassingue éblouissement égouttoir énervement épuisette étendoir
 étourdissement
 """.split()
+
+
+# common attested adverbs whose base adjective is not inventoried
+# (absolument, couramment-class) or that are primitive/temporal
+# (jadis, dorénavant) — replaces the culled blanket derivation
+ADVERBS_EXT2 = """
+abruptement absolument abstraitement accessoirement affreusement
+aisément allègrement approximativement arbitrairement assurément
+astronomiquement aucunement autrefois autrement bellement bravement
+brusquement bêtement carrément catégoriquement cependant chichement
+combien comme concrètement continuellement contrairement
+copieusement correctement crânement cérémonieusement dangereusement
+derechef discrètement distinctement diversement doctement dorénavant
+doublement drôlement décidément délibérément démesurément
+déraisonnablement désespérément dûment effectivement efficacement
+essentiellement exagérément exclusivement extrêmement farouchement
+fermement fichtrement finalement forcément formellement fugitivement
+férocement gratuitement guère immanquablement immédiatement
+incontestablement indistinctement individuellement indubitablement
+indéfiniment indûment inexorablement inopinément insensiblement
+instantanément intégralement intérieurement invariablement
+inversement isolément jadis lors lourdement majoritairement
+manifestement médiocrement mêmement naguère notamment nécessairement
+obstinément officieusement parcimonieusement pareillement
+passablement passagèrement passionnément physiquement populairement
+postérieurement potentiellement pourtant premièrement
+prodigieusement progressivement proportionnellement provisoirement
+préalablement précairement préférablement prétendument quasiment
+rageusement réciproquement rétroactivement rétrospectivement
+sciemment scrupuleusement secondairement secrètement sensément
+simultanément singulièrement sommairement souterrainement
+spontanément sporadiquement subrepticement subsidiairement
+substantiellement succinctement supérieurement séparément sûrement
+temporairement toutefois typiquement ultérieurement uniment
+vaguement virtuellement volontairement volontiers vraisemblablement
+""".split()
+
+
+# expressive / colloquial-register -er verbs (all dictionary words),
+# authored diff-filtered against the built lexicon
+VERBS_ER_EXPRESSIVE = """
+ankyloser attabler bagarrer balafrer ballotter baratiner barboter
+barioler bassiner besogner bichonner blackbouler boudiner
+bourlinguer brigander briguer cafouiller canarder cartonner
+castagner cauchemarder chamailler chapeauter charcuter cocooner
+colmater commanditer compartimenter concocter contrecarrer débobiner
+débroussailler décamper décoiffer déconner décortiquer dégommer
+détaler emberlificoter embrigader embroussailler empester empiffrer
+emplafonner encanailler enguirlander enquiquiner entrechoquer
+esquinter fainéanter farfouiller flancher fouiner fourguer gaffer
+galvauder godiller gratouiller lésiner nasiller noyauter ornementer
+pigeonner planquer plastronner plébisciter péricliter rançonner
+rapetisser ratiboiser rechigner recroqueviller regimber rempiler
+renauder rengainer ripoliner récolter réglementer rôdailler saborder
+seriner squatter surnager tarabuster toiletter tournicoter
+traficoter tripatouiller valdinguer vivoter écharper écorcher
+éparpiller épauler étriller
+""".split()
