@@ -77,15 +77,37 @@ def token_offsets(
     pat = _re.compile(r"[a-z0-9]+")
 
     def kernel(batches):
+        import numpy as np
+
         for pdf in batches:
-            rows = []
+            # columnar accumulation: per-doc span arrays concatenated
+            # once per batch — the row-tuple formulation built one
+            # Python tuple per TOKEN and paid a row-wise DataFrame
+            # construction on top (guide §4.2)
+            doc_arrs, pos_arrs, span_arrs = [], [], []
+            terms: list[str] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for p, m in enumerate(pat.finditer((text or "").lower())):
-                    rows.append(
-                        (int(doc_id), p, m.start(), m.end(), m.group())
-                    )
+                lowered = (text or "").lower()
+                spans = [m.span() for m in pat.finditer(lowered)]
+                if not spans:
+                    continue
+                n = len(spans)
+                doc_arrs.append(np.full(n, int(doc_id), dtype=np.int64))
+                pos_arrs.append(np.arange(n, dtype=np.int32))
+                sp = np.asarray(spans, dtype=np.int32)
+                span_arrs.append(sp)
+                terms.extend(lowered[s:e] for s, e in spans)
+            if not doc_arrs:
+                continue
+            sp = np.concatenate(span_arrs)
             yield pd.DataFrame(
-                rows, columns=["doc_id", "pos", "start", "end", "term"]
+                {
+                    "doc_id": np.concatenate(doc_arrs),
+                    "pos": np.concatenate(pos_arrs),
+                    "start": sp[:, 0],
+                    "end": sp[:, 1],
+                    "term": np.asarray(terms, dtype=object),
+                }
             )
 
     d = docs.select(

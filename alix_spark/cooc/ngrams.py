@@ -60,9 +60,18 @@ def _pair_counts_rails(rails: DataFrame, width: int) -> DataFrame:
             if not lefts:
                 continue
             # encode the pair as one int64 (formIds are 32-bit dense
-            # ranks) so np.unique counts pairs in one vectorized pass
-            key = np.concatenate(lefts) << np.int64(32)
-            key |= np.concatenate(rights)
+            # ranks) so np.unique counts pairs in one vectorized pass;
+            # the shift decode below sign-extends, so the 31-bit
+            # assumption must hold — check it instead of corrupting ids
+            left_arr = np.concatenate(lefts)
+            right_arr = np.concatenate(rights)
+            if max(left_arr.max(), right_arr.max()) >= np.int64(1) << 31:
+                raise ValueError(
+                    "form_id exceeds 2^31; int64 pair packing would "
+                    "sign-extend — widen the pair key first"
+                )
+            key = left_arr << np.int64(32)
+            key |= right_arr
             vals, counts = np.unique(key, return_counts=True)
             yield pd.DataFrame(
                 {

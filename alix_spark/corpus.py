@@ -67,6 +67,10 @@ class Corpus:
             from alix_spark.analysis.pipeline import fr_tokens_for_index
 
             return fr_tokens_for_index(self.token_table)
+        # deliberately NOT cached: regenerating the explode from the
+        # (cached) docs is measurably cheaper than scanning a
+        # materialized token InMemoryRelation (r7 A/B: sf1 cooc_window
+        # warm 2.0s uncached vs 3.5s cached)
         return simple.tokenize(self.docs, self.id_col, self.text_col)
 
     @cached_property
@@ -110,6 +114,15 @@ class Corpus:
 
     @cached_property
     def postings(self) -> DataFrame:
+        if self.analyzer == "simple":
+            # map-side build: a posting row depends only on its own
+            # document, so the (term, doc_id) Exchange of the exploded
+            # token stream is pure overhead (guide §2.4)
+            return self._maybe_cache(
+                ib.build_postings_from_docs(
+                    self.docs, self.id_col, self.text_col
+                )
+            )
         return self._maybe_cache(ib.build_postings(self.tokens))
 
     @cached_property
@@ -149,6 +162,13 @@ class Corpus:
 
     @cached_property
     def doc_lens(self) -> DataFrame:
+        if self.analyzer == "simple":
+            # dl = size of the token array: map-only, codegen, no shuffle
+            return self._maybe_cache(
+                ib.build_doc_lens_from_docs(
+                    self.docs, self.id_col, self.text_col
+                )
+            )
         return self._maybe_cache(ib.build_doc_lens(self.tokens))
 
     @cached_property

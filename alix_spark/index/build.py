@@ -50,9 +50,134 @@ def build_postings(tokens: DataFrame, positions: bool = True) -> DataFrame:
     )
 
 
+def build_postings_from_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    positions: bool = True,
+) -> DataFrame:
+    """docs → postings (term, doc_id, tf[, positions]) with NO shuffle.
+
+    Row-identical to ``build_postings(simple.tokenize(docs))`` (pytest
+    cross-check in tests/test_index_build.py), but a posting row depends
+    only on its own document, so the ``(term, doc_id)`` Exchange of the
+    token-stream path is pure overhead (guide §2.4): this kernel
+    tokenizes each Arrow batch of raw documents and emits the finished
+    posting rows map-side. The whole-corpus shuffle that was ~4× the
+    corpus bytes (one ~25-byte row per token occurrence) disappears from
+    the plan — the scan feeds the kernel feeds the sink.
+
+    Simple analysis chain only (the regex IS the chain); the French
+    kernel keeps its own pipeline.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # nullability mirrors the groupBy path exactly (schema parity is
+    # part of row-identity: the oracle compares schemas)
+    fields = [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), True),
+        StructField("tf", IntegerType(), False),
+    ]
+    if positions:
+        fields.append(
+            StructField(
+                "positions", ArrayType(IntegerType(), False), False
+            )
+        )
+    schema = StructType(fields)
+    tok_re = _re.compile(r"[a-z0-9]+")
+    want_pos = positions
+
+    def kernel(batches):
+        import numpy as np
+
+        cols = ["term", "doc_id", "tf"] + (["positions"] if want_pos else [])
+        for pdf in batches:
+            doc_arrs: list[np.ndarray] = []
+            term_arrs: list[str] = []
+            pos_arrs: list[np.ndarray] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                toks = tok_re.findall((text or "").lower())
+                if not toks:
+                    continue
+                n = len(toks)
+                doc_arrs.append(np.full(n, int(doc_id), dtype=np.int64))
+                term_arrs.extend(toks)
+                pos_arrs.append(np.arange(n, dtype=np.int64))
+            if not doc_arrs:
+                continue
+            d = np.concatenate(doc_arrs)
+            p = np.concatenate(pos_arrs)
+            codes, uniques = pd.factorize(
+                np.asarray(term_arrs, dtype=object), sort=False
+            )
+            # group by (doc, term-code); positions sort last so each
+            # run's occurrences come out ascending
+            order = np.lexsort((p, codes, d))
+            c = codes[order]
+            dd = d[order]
+            pp = p[order]
+            is_new = np.empty(c.size, dtype=bool)
+            is_new[0] = True
+            is_new[1:] = (c[1:] != c[:-1]) | (dd[1:] != dd[:-1])
+            starts = np.flatnonzero(is_new)
+            tfs = np.diff(np.append(starts, c.size)).astype(np.int32)
+            out = {
+                "term": uniques[c[starts]],
+                "doc_id": dd[starts],
+                "tf": tfs,
+            }
+            if want_pos:
+                out["positions"] = np.split(
+                    pp.astype(np.int32), starts[1:]
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    return d.mapInPandas(kernel, schema)
+
+
 def build_doc_lens(tokens: DataFrame) -> DataFrame:
     """(doc_id, pos, term) → (doc_id, dl)."""
     return tokens.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("dl"))
+
+
+def build_doc_lens_from_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """docs → (doc_id, dl) with NO shuffle and NO Python: dl is just the
+    size of the simple chain's token array, a whole-stage-codegen map
+    over the document table (guide §2.4 — the groupBy of
+    :func:`build_doc_lens` re-aggregated what each row already knows).
+    Docs with zero tokens are omitted, matching the token-stream path.
+    """
+    from alix_spark.analysis.simple import tokens_array
+
+    # coalesce('' for null text) keeps the dl column non-nullable, so
+    # the schema matches the groupBy path's count() exactly; null-text
+    # docs have dl 0 and drop out either way
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens_array(F.coalesce(F.col(text_col), F.lit(""))))
+            .cast("int")
+            .alias("dl"),
+        )
+        .filter(F.col("dl") > 0)
+    )
 
 
 def build_doc_lens_from_postings(postings: DataFrame) -> DataFrame:

