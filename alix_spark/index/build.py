@@ -214,8 +214,11 @@ def rank_forms(stats: DataFrame) -> DataFrame:
     window — see :func:`alix_spark.ingest.scalable_row_number`."""
     from alix_spark.ingest import scalable_row_number
 
+    # cache the (vocabulary-sized) stats: the range partitioner's
+    # sampling pass and the exchange map stage otherwise each
+    # re-evaluate the upstream postings aggregation
     return scalable_row_number(
-        stats, [F.desc("occs"), F.asc("term")], "form_id", start=1
+        stats.cache(), [F.desc("occs"), F.asc("term")], "form_id", start=1
     ).select("form_id", "term", "occs", "docs")
 
 

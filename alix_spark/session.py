@@ -22,6 +22,14 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("ALIX_SHUFFLE_PARTITIONS", "32")
 # a scan feeds a CPU-heavy map that needs more tasks than byte sizing
 # gives.
 DEFAULT_MIN_PARTITION_NUM = os.environ.get("ALIX_MIN_PARTITION_NUM", "4")
+# Driver JVM heap. In local mode the driver IS the executor: the Spark
+# default of 1g left 32 concurrent tasks sharing ~430 MB of unified
+# execution+storage memory (guide §5) — constant GC pressure and cache
+# eviction on any non-trivial corpus. Must be set before the JVM
+# launches, so it lives here, not in per-job conf. Override per
+# deployment (on a cluster the driver does no data work and can be
+# smaller; executors get their own spark.executor.memory).
+DEFAULT_DRIVER_MEMORY = os.environ.get("ALIX_DRIVER_MEMORY", "8g")
 
 
 def get_spark(
@@ -51,6 +59,7 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.files.minPartitionNum": DEFAULT_MIN_PARTITION_NUM,
+        "spark.driver.memory": DEFAULT_DRIVER_MEMORY,
         # All analysis kernels are Arrow-vectorized pandas UDFs.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

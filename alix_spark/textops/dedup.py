@@ -170,20 +170,18 @@ def minhash_lsh_pairs(
             f"bands*rows = {bands * rows} exceeds signature length "
             f"{probe[0]['n']}"
         )
+    # bucket = xxhash64 of the band's sig slice, hashed as the ARRAY
+    # itself: candidates are defined by slice EQUALITY, which any
+    # deterministic injective-enough hash preserves; the previous
+    # cast-to-string + array_join formulation built a ~80-char string
+    # per (row, band) before hashing — pure codegen overhead (r7: the
+    # string form was ~2/3 of the LSH step's time at sf1)
     banded = signatures.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    )
+                    F.xxhash64(F.slice("sig", b * rows + 1, rows))
                     for b in range(bands)
                 ]
             )

@@ -323,6 +323,14 @@ def _alloc_coef_grids(frame) -> None:
 def _decode_scan(frame, qt, huff, scan_sel, chunks, restart_interval):
     comps = frame["comps"]
     _alloc_coef_grids(frame)
+    if len(scan_sel) == 1:
+        # T.81 A.2.3: a one-component scan is NON-interleaved — one
+        # block per data unit over the component's own nw×nh raster,
+        # ignoring the frame's sampling factors (a grayscale frame
+        # declaring h/v > 1 would otherwise mis-decode)
+        return _decode_scan_single(
+            frame, qt, huff, scan_sel, chunks, restart_interval
+        )
     mcux, mcuy = frame["mcux"], frame["mcuy"]
     n_mcu = mcux * mcuy
     mcu_idx = 0
@@ -366,6 +374,51 @@ def _decode_scan(frame, qt, huff, scan_sel, chunks, restart_interval):
                         col = mx * c["h"] + bx
                         c["coef"][row * c["bw"] + col] = blk
             mcu_idx += 1
+    return _reconstruct(frame, qt)
+
+
+def _decode_scan_single(frame, qt, huff, scan_sel, chunks, restart_interval):
+    """Baseline single-component (non-interleaved) scan: data units are
+    single blocks in the component's nw×nh raster; the restart interval
+    counts blocks (T.81 A.2.3)."""
+    (cid,) = scan_sel
+    c = next(cc for cc in frame["comps"] if cc["id"] == cid)
+    td, ta = scan_sel[cid]
+    dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
+    nw, nh = c["nw"], c["nh"]
+    n_units = nw * nh
+    idx = 0
+    for chunk in chunks:
+        reader = _BitReader(chunk.replace(b"\xff\x00", b"\xff"))
+        c["pred"] = 0
+        end = (
+            min(idx + restart_interval, n_units)
+            if restart_interval
+            else n_units
+        )
+        while idx < end:
+            blk = np.zeros(64, dtype=np.int64)
+            s = reader.decode_symbol(dc_t)
+            diff = _extend(reader.read_bits(s), s)
+            c["pred"] += diff
+            blk[0] = c["pred"]
+            k = 1
+            while k < 64:
+                rs = reader.decode_symbol(ac_t)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                blk[k] = _extend(reader.read_bits(s), s)
+                k += 1
+            row, col = divmod(idx, nw)
+            c["coef"][row * c["bw"] + col] = blk
+            idx += 1
     return _reconstruct(frame, qt)
 
 

@@ -221,3 +221,24 @@ def test_cmyk_guard():
     )
     with pytest.raises(NotImplementedError):
         decode_jpeg(payload)
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.3: a one-component scan is non-interleaved — a grayscale
+    frame DECLARING h=v=2 (some encoders do) must decode to the same
+    pixels as the identical entropy stream with h=v=1."""
+    import numpy as np
+
+    from alix_spark.textops.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 16)).astype("uint8")
+    buf = encode_jpeg(img)
+    base = decode_jpeg(buf)
+    b = bytearray(buf)
+    i = b.find(b"\xff\xc0")
+    assert i >= 0 and b[i + 9] == 1  # SOF0, one component
+    hv_off = i + 11  # comp id byte, then h<<4|v
+    assert b[hv_off] == 0x11
+    b[hv_off] = 0x22
+    assert np.array_equal(base, decode_jpeg(bytes(b)))
