@@ -105,5 +105,24 @@ def _warm_python_workers(spark: SparkSession) -> None:
                 yield b
 
         spark.range(0, n, 1, n).mapInPandas(_identity, "id long").count()
+        # also compile the engine's hottest JVM plan family once — the
+        # tokenize Generate feeding a grouped count (2 rows of data;
+        # this is whole-stage-codegen compilation, not data work): a
+        # cold session otherwise charges ~2 s of class generation to
+        # the first query that explodes tokens
+        from pyspark.sql import functions as F
+
+        from alix_spark.analysis import simple
+
+        tiny = spark.createDataFrame(
+            [(0, "a b"), (1, "c d")], "doc_id long, text string"
+        )
+        (
+            simple.tokenize(tiny, "doc_id", "text")
+            .groupBy("term")
+            .count()
+            .filter(F.col("term") == "x")
+            .count()
+        )
     except Exception:
         pass  # warmup is best-effort, never a session failure
