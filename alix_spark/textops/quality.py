@@ -165,17 +165,26 @@ def repetition_stats(
             4,
         ).alias("dup_line_ratio"),
     )
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_array(F.col(text_col))).alias("pos", "term"),
-    )
-    a = toks.select("doc_id", F.col("pos").alias("p"), F.col("term").alias("w1"))
-    b = toks.select(
-        "doc_id", (F.col("pos") - 1).alias("p"), F.col("term").alias("w2")
+    # bigrams as a slice-array transform (tokens are space-free, so
+    # "w1 w2" is a bijection with the pair): one explode + one
+    # aggregation exchange instead of two explodes + a positional
+    # self-join — row-identical (r7 exceptAll cross-check, incl.
+    # null/empty/single-token docs)
+    toks = tokens_array(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bi = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
     )
     grams = (
-        a.join(b, ["doc_id", "p"])
-        .groupBy("doc_id", "w1", "w2")
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(bi).alias("bg"))
+        .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(
